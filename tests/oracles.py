@@ -1,0 +1,154 @@
+"""Independent NumPy/SciPy oracles for correctness tests.
+
+These re-derive the reference math (``tools/mpc_obstacle_casadi.py``) directly
+from the formulas in plain NumPy, independent of the JAX implementation, so a
+bug in avoid_mpc_tpu cannot cancel itself out in tests.
+
+``solve_nlp_slsqp`` is the golden solver oracle: the same multiple-shooting
+NLP the reference hands to IPOPT, solved in f64 by scipy SLSQP (the
+closest CPU stand-in available — IPOPT/CasADi are not in this image).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+G = 9.81
+NX, NU = 10, 4
+
+
+def ode(x, u, tau, use_drag=False, drag_c=0.033):
+    x = np.asarray(x, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+    v = x[4:7]
+    a = x[7:10]
+    if use_drag:
+        yaw = x[3]
+        acc = a + np.array([0.0, 0.0, G])
+        proj_xb = np.array([np.cos(yaw), np.sin(yaw), 0.0])
+        zb = acc / np.linalg.norm(acc)
+        yb = np.cross(zb, proj_xb)
+        yb = yb / np.linalg.norm(yb)
+        xb = np.cross(yb, zb)
+        R = np.stack([xb, yb, zb], axis=1)
+        drag = R @ np.diag([drag_c] * 3) @ R.T @ v
+    else:
+        drag = np.zeros(3)
+    a_dot = np.array(
+        [
+            (u[0] - a[0]) * tau[0],
+            (u[1] - a[1]) * tau[1],
+            (u[2] - G - a[2]) * tau[2],
+        ]
+    )
+    return np.concatenate([v, [u[3]], a - drag, a_dot])
+
+
+def rk4(x, u, dt, tau, substeps=4, use_drag=False):
+    h = dt / substeps
+    x = np.asarray(x, dtype=np.float64).copy()
+    for _ in range(substeps):
+        k1 = ode(x, u, tau, use_drag)
+        k2 = ode(x + 0.5 * h * k1, u, tau, use_drag)
+        k3 = ode(x + 0.5 * h * k2, u, tau, use_drag)
+        k4 = ode(x + h * k3, u, tau, use_drag)
+        x = x + h * (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
+    return x
+
+
+def rollout(x0, us, dt, tau, use_drag=False):
+    xs = [np.asarray(x0, dtype=np.float64)]
+    for u in us:
+        xs.append(rk4(xs[-1], u, dt, tau, use_drag=use_drag))
+    return np.stack(xs)
+
+
+def softplus(z):
+    return np.logaddexp(0.0, z)
+
+
+def stage_costs(xs, us, ref, obstacles, target, q_goal, q_path, q_u, lam, radius):
+    """Total cost, reference loop semantics (tools/mpc_obstacle_casadi.py:158-220)."""
+    n = len(us)
+    total = 0.0
+    for k in range(n):
+        xk1 = xs[k + 1]
+        du = us[k] - np.array([0.0, 0.0, G, 0.0])
+        total += du @ np.diag(q_u) @ du
+        if k >= n - 1:
+            d = xk1 - target
+            total += d @ np.diag(q_goal) @ d
+        else:
+            yaw = ref[k][3]
+            c, s = np.cos(yaw), np.sin(-yaw)
+            rot = np.eye(NX)
+            rot[0, 0], rot[0, 1], rot[1, 0], rot[1, 1] = c, -s, s, c
+            rot[4, 4], rot[4, 5], rot[5, 4], rot[5, 5] = c, -s, s, c
+            d = rot @ (xk1 - ref[k])
+            total += d @ np.diag(q_path) @ d
+            for o in obstacles[k]:
+                vec = o - xk1[0:3]
+                dist = np.linalg.norm(vec)
+                vproj = abs(xk1[4:7] @ (vec / dist))
+                total += lam * softplus(-32.0 * (dist - radius)) * vproj
+    return total
+
+
+def solve_nlp_slsqp(
+    x0,
+    ref,
+    obstacles,
+    target,
+    dt,
+    tau,
+    q_goal,
+    q_path,
+    q_u,
+    lam,
+    radius,
+    u_lower,
+    u_upper,
+    n,
+    u_init=None,
+    maxiter=300,
+    ftol=1e-10,
+):
+    """Golden NLP solve: single-shooting equivalent of the reference NLP.
+
+    Decision variables: U (n*4,). States eliminated by exact rollout (the
+    multiple-shooting equality constraints of the reference hold exactly),
+    so the optimum coincides with the reference NLP's optimum. Solved with
+    scipy SLSQP + f64 finite-element gradients from numdifferentiable closure.
+    """
+    from scipy.optimize import minimize
+
+    x0 = np.asarray(x0, dtype=np.float64)
+
+    def unpack(z):
+        return z.reshape(n, NU)
+
+    def cost(z):
+        us = unpack(z)
+        xs = rollout(x0, us, dt, tau)
+        return stage_costs(xs, us, ref, obstacles, target, q_goal, q_path, q_u, lam, radius)
+
+    if u_init is None:
+        u_init = np.tile(np.array([0.0, 0.0, G, 0.0]), (n, 1))
+    bounds = [(lo, hi) for _ in range(n) for lo, hi in zip(u_lower, u_upper)]
+    res = minimize(
+        cost,
+        np.asarray(u_init, dtype=np.float64).ravel(),
+        method="SLSQP",
+        bounds=bounds,
+        options={"maxiter": maxiter, "ftol": ftol},
+    )
+    us = unpack(res.x)
+    xs = rollout(x0, us, dt, tau)
+    return us, xs, res
+
+
+def knn_oracle(queries, points, k):
+    """Brute-force k-NN: returns (idx, dist) sorted ascending."""
+    d2 = ((queries[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :k]
+    return idx, np.sqrt(np.take_along_axis(d2, idx, axis=1))
