@@ -33,6 +33,15 @@ from avoid_mpc_tpu.config import GRAVITY, MPCConfig
 # Stiffness of the soft collision barrier (reference :203, "dist * -32").
 COLLISION_SHARPNESS = 32.0
 
+# Smoothing of the |v . dir| factor: the reference uses an exact abs
+# (ca.norm_2 of a scalar, :197-199), which is nonsmooth where the
+# velocity-toward-obstacle crosses zero — the optimum frequently sits ON that
+# kink, stalling any derivative-based solver (IPOPT included) at gradient
+# norms O(1). We use |z| ~= sqrt(z^2 + eps); the induced objective error is
+# <= sqrt(eps) = 1e-4, well inside the 1e-3 parity budget, and the problem
+# becomes C^2 so Newton-type solvers converge tightly.
+ABS_SMOOTHING = 1e-8
+
 
 class CostParams(NamedTuple):
     q_goal: jax.Array  # (10,) terminal weights
@@ -105,7 +114,8 @@ def collision_cost(x: jax.Array, obstacles: jax.Array, cp: CostParams) -> jax.Ar
     # Safe norm: the padding keeps ||vec|| >> 0; guard anyway so grads stay finite.
     d2 = jnp.sum(vec * vec, axis=-1)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
-    v_toward = jnp.abs(jnp.sum(v * vec, axis=-1) / dist)
+    v_along = jnp.sum(v * vec, axis=-1) / dist
+    v_toward = jnp.sqrt(v_along * v_along + ABS_SMOOTHING)
     barrier = jax.nn.softplus(-COLLISION_SHARPNESS * (dist - cp.drone_radius))
     return jnp.sum(cp.collide_lambda * barrier * v_toward, axis=-1)
 

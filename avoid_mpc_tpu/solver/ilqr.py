@@ -1,0 +1,319 @@
+"""Box-constrained iLQR/SQP — the TPU-native replacement for CasADi+IPOPT.
+
+The reference solves a multiple-shooting NLP (decision variables X, U with
+dynamics equality constraints, ``tools/mpc_obstacle_casadi.py:150-242``) with
+warm-started IPOPT capped at 10 iterations (``HighLvlMpc.cpp:17-23``).  Here
+the dynamics constraints are eliminated exactly by rollout (single shooting),
+so the optimum coincides with the reference NLP's optimum, and the solve
+becomes differential dynamic programming with per-stage box QPs for the
+control bounds (Tassa 2014).
+
+TPU-first structure — each solver iteration is four phases, chosen so the
+sequential parts are minimal and everything wide is batched:
+
+1. **Linearize** all N stages *in parallel* (vmap of jacfwd/hessian over the
+   horizon) — the analogue of the reference's ``F.map(N, "openmp")`` fan-out.
+2. **Backward Riccati sweep** — `lax.scan` over N (sequential, tiny 10x10 /
+   4x4 math, batched over thousands of scenarios by the outer vmap).
+3. **Forward line search** — ALL step-size candidates rolled out in parallel
+   (vmap over alphas of a scan over stages), best improving one selected.
+4. **Trust-region adaptation** — Levenberg-style regularization update, all
+   data-dependent choices via `where` (no Python control flow).
+
+Everything is dtype-polymorphic: f64 for CPU parity oracles, f32 on TPU.
+Iteration count is static (the IPOPT ``max_iter`` analogue); convergence is
+reported, not branched on, so the jaxpr has static shape.
+
+The warm-start carry (the ``mNlpW0`` analogue, ``HighLvlMpc.cpp:129``) is the
+returned ``us`` fed back as ``us_init`` of the next call.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from avoid_mpc_tpu.config import CONTROL_DIM, STATE_DIM, MPCConfig
+from avoid_mpc_tpu.models.costs import (
+    CostParams,
+    control_cost,
+    goal_cost,
+    stage_state_cost,
+    trajectory_cost,
+)
+from avoid_mpc_tpu.models.quadrotor import DynamicsParams, rk4_step, rollout
+from avoid_mpc_tpu.solver.boxqp import boxqp
+
+
+class MPCProblem(NamedTuple):
+    """Per-scenario problem data — the analogue of the reference P-vector
+    (init state + ref path + obstacle points + target,
+    ``tools/mpc_obstacle_casadi.py:76-86``)."""
+
+    x0: jax.Array  # (10,)
+    ref: jax.Array  # (N, 10) reference path; slots 0..N-2 used by gap cost
+    obstacles: jax.Array  # (N, K, 3); slots 0..N-2 used by collision cost
+    target: jax.Array  # (10,)
+
+
+class SolverParams(NamedTuple):
+    """Runtime (non-shape) solver parameters."""
+
+    dt: jax.Array  # scalar
+    dyn: DynamicsParams
+    cost: CostParams
+    u_lower: jax.Array  # (4,)
+    u_upper: jax.Array  # (4,)
+
+    @staticmethod
+    def from_config(cfg: MPCConfig, dtype=jnp.float32) -> "SolverParams":
+        return SolverParams(
+            dt=jnp.asarray(cfg.mpc_dt, dtype=dtype),
+            dyn=DynamicsParams.from_config(cfg, dtype=dtype),
+            cost=CostParams.from_config(cfg, dtype=dtype),
+            u_lower=jnp.asarray(cfg.u_lower, dtype=dtype),
+            u_upper=jnp.asarray(cfg.u_upper, dtype=dtype),
+        )
+
+
+class SolverHyper(NamedTuple):
+    """Static (trace-time) solver knobs."""
+
+    iters: int = 10  # IPOPT max_iter analogue
+    n_alphas: int = 8  # parallel line-search candidates 2^0 .. 2^-(n-1)
+    boxqp_iters: int = 8
+    reg_init: float = 1e-6
+    reg_min: float = 1e-9
+    reg_max: float = 1e6
+    grad_tol: float = 1e-4  # reported-convergence threshold (IPOPT tol analogue)
+
+    @staticmethod
+    def from_config(cfg: MPCConfig, fast: bool = False) -> "SolverHyper":
+        return SolverHyper(
+            iters=cfg.sqp_iters_fast if fast else cfg.sqp_iters,
+            n_alphas=cfg.line_search_alphas,
+            boxqp_iters=cfg.boxqp_iters,
+            reg_init=cfg.reg_init,
+            reg_min=cfg.reg_min,
+            reg_max=cfg.reg_max,
+        )
+
+
+class SolveResult(NamedTuple):
+    us: jax.Array  # (N, 4) optimal controls; us[0] is the command to fly
+    xs: jax.Array  # (N+1, 10) predicted optimal trajectory
+    cost: jax.Array  # scalar final objective
+    grad_norm: jax.Array  # sup-norm of the projected gradient at the solution
+    converged: jax.Array  # bool: grad_norm < grad_tol
+    reg: jax.Array  # final regularization (diagnostic)
+
+
+def _node_cost(x, ref_slot, obs_slot, target, is_terminal, cp: CostParams):
+    """State cost at one node: interior gap+collision or terminal goal.
+
+    Both branches are evaluated (jit-safe select); padding keeps each finite.
+    """
+    interior = stage_state_cost(x, ref_slot, obs_slot, cp)
+    terminal = goal_cost(x, target, cp)
+    return jnp.where(is_terminal, terminal, interior)
+
+
+def _linearize(problem: MPCProblem, xs, us, sp: SolverParams):
+    """Parallel linearization of dynamics and costs along the horizon.
+
+    Returns per-stage Jacobians A, B and per-node state-cost grad/Hessian
+    (nodes 1..N), plus per-stage control-cost grad/Hessian. This is the
+    widest, most MXU/VPU-friendly phase — one vmap over N stages, all
+    derivatives by AD (the reference gets these from CasADi codegen'd C).
+    """
+    n = us.shape[0]
+    cp = sp.cost
+
+    def f(x, u):
+        return rk4_step(x, u, sp.dt, sp.dyn)
+
+    A = jax.vmap(jax.jacfwd(f, argnums=0))(xs[:-1], us)  # (N, 10, 10)
+    B = jax.vmap(jax.jacfwd(f, argnums=1))(xs[:-1], us)  # (N, 10, 4)
+
+    # State-cost derivatives at nodes 1..N. Node j<N uses ref/obstacle slot
+    # j-1; node N uses the goal term. Terminal slot contents are irrelevant
+    # but must be finite — slot N-1 is a real array entry, fine.
+    is_term = jnp.arange(1, n + 1) == n
+
+    def ncost(x, ref_slot, obs_slot, t):
+        return _node_cost(x, ref_slot, obs_slot, problem.target, t, cp)
+
+    cx = jax.vmap(jax.grad(ncost), in_axes=(0, 0, 0, 0))(
+        xs[1:], problem.ref, problem.obstacles, is_term
+    )  # (N, 10)
+    cxx = jax.vmap(jax.hessian(ncost), in_axes=(0, 0, 0, 0))(
+        xs[1:], problem.ref, problem.obstacles, is_term
+    )  # (N, 10, 10)
+
+    # Control cost is diagonal quadratic — analytic derivatives.
+    lu = 2.0 * cp.q_u * (us - cp.u_hover)  # (N, 4)
+    luu = jnp.tile(jnp.diag(2.0 * cp.q_u)[None], (n, 1, 1))  # (N, 4, 4)
+    return A, B, cx, cxx, lu, luu
+
+
+def _backward(us, A, B, cx, cxx, lu, luu, reg, sp: SolverParams, hp: SolverHyper):
+    """Backward Riccati sweep with per-stage box QPs.
+
+    Carry: (V_x, V_xx) — value expansion at node k+1 *excluding* that node's
+    state cost (it is added as the first step of each stage so the terminal
+    node's goal term enters naturally).
+    Regularization: Levenberg on the value curvature seen through B
+    (Tassa's state regularization): Quu = luu + B^T (V_xx + reg I) B.
+    """
+    n, nu = us.shape
+    nx = A.shape[-1]
+    dtype = us.dtype
+    eye = jnp.eye(nx, dtype=dtype)
+
+    def stage(carry, inp):
+        Vx, Vxx = carry
+        A_k, B_k, cx_k1, cxx_k1, lu_k, luu_k, u_k = inp
+        # Fold node k+1 state cost into the value expansion.
+        Wx = Vx + cx_k1
+        Wxx = Vxx + cxx_k1
+        Wxx_reg = Wxx + reg * eye
+
+        Qx = A_k.T @ Wx
+        Qu = lu_k + B_k.T @ Wx
+        Qxx = A_k.T @ Wxx @ A_k
+        Qux = B_k.T @ Wxx_reg @ A_k
+        # Dual regularization (Tassa 2014): reg through B damps the value
+        # curvature; the direct term keeps Quu PD and bends failed steps
+        # toward gradient descent when the collision Hessian goes indefinite.
+        Quu = luu_k + B_k.T @ Wxx_reg @ B_k + reg * jnp.eye(nu, dtype=dtype)
+        Quu = 0.5 * (Quu + Quu.T)
+
+        # Box QP over the control delta: bounds relative to current u_k
+        # (reference bounds HighLvlMpc.cpp:28-33).
+        k_ff, free = boxqp(
+            Quu, Qu, sp.u_lower - u_k, sp.u_upper - u_k,
+            jnp.zeros_like(u_k), iters=hp.boxqp_iters,
+        )
+        mf = free.astype(dtype)
+        Quu_f = Quu * (mf[:, None] * mf[None, :]) + jnp.diag(1.0 - mf)
+        K = -jnp.linalg.solve(Quu_f, Qux * mf[:, None])  # clamped rows -> 0
+
+        Vx_new = Qx + K.T @ (Quu @ k_ff + Qu) + Qux.T @ k_ff
+        Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+
+        # Expected cost decrease pieces for the line search acceptance.
+        dV1 = k_ff @ Qu
+        dV2 = 0.5 * k_ff @ Quu @ k_ff
+        # Projected gradient: stationarity measure honoring active bounds.
+        pg = jnp.where(free, Qu, 0.0)
+        return (Vx_new, Vxx_new), (k_ff, K, dV1, dV2, jnp.max(jnp.abs(pg)))
+
+    init = (jnp.zeros(nx, dtype=dtype), jnp.zeros((nx, nx), dtype=dtype))
+    inputs = (A, B, cx, cxx, lu, luu, us)
+    rev = jax.tree.map(lambda a: jnp.flip(a, axis=0), inputs)
+    (_, _), outs = jax.lax.scan(stage, init, rev)
+    k_ff, K, dV1, dV2, pg = jax.tree.map(lambda a: jnp.flip(a, axis=0), outs)
+    return k_ff, K, jnp.sum(dV1), jnp.sum(dV2), jnp.max(pg)
+
+
+def _closed_loop_rollout(x0, us, xs_ref, k_ff, K, alpha, sp: SolverParams):
+    """Forward pass with feedback: u = clip(u_k + a*k + K(x - x_k))."""
+
+    def step(x, inp):
+        u_k, x_k, k_k, K_k = inp
+        u = u_k + alpha * k_k + K_k @ (x - x_k)
+        u = jnp.clip(u, sp.u_lower, sp.u_upper)
+        x_next = rk4_step(x, u, sp.dt, sp.dyn)
+        return x_next, (x_next, u)
+
+    _, (xs_new, us_new) = jax.lax.scan(step, x0, (us, xs_ref[:-1], k_ff, K))
+    xs_new = jnp.concatenate([x0[None], xs_new], axis=0)
+    return xs_new, us_new
+
+
+def _total_cost(problem: MPCProblem, xs, us, cp: CostParams):
+    return trajectory_cost(xs, us, problem.ref, problem.obstacles, problem.target, cp)
+
+
+def solve(
+    problem: MPCProblem,
+    us_init: jax.Array,
+    sp: SolverParams,
+    hp: SolverHyper = SolverHyper(),
+) -> SolveResult:
+    """Solve one MPC instance. vmap over a leading scenario axis to batch
+    (see :func:`solve_batched`)."""
+    dtype = us_init.dtype
+    us0 = jnp.clip(us_init, sp.u_lower, sp.u_upper)
+    xs0 = rollout(problem.x0, us0, sp.dt, sp.dyn)
+    cost0 = _total_cost(problem, xs0, us0, sp.cost)
+    alphas = jnp.asarray(2.0 ** -jnp.arange(hp.n_alphas), dtype=dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype=dtype)
+
+    def iteration(carry, _):
+        us, xs, cost, reg, grad_norm = carry
+        A, B, cx, cxx, lu, luu = _linearize(problem, xs, us, sp)
+        k_ff, K, dV1, dV2, pg = _backward(us, A, B, cx, cxx, lu, luu, reg, sp, hp)
+
+        def try_alpha(alpha):
+            xs_a, us_a = _closed_loop_rollout(problem.x0, us, xs, k_ff, K, alpha, sp)
+            return _total_cost(problem, xs_a, us_a, sp.cost), xs_a, us_a
+
+        costs_a, xs_a, us_a = jax.vmap(try_alpha)(alphas)
+        costs_a = jnp.where(jnp.isfinite(costs_a), costs_a, big)
+        # Accept candidates that achieve a fraction of the predicted decrease
+        # (classic DDP acceptance; expected[alpha] = a*dV1 + a^2*dV2 < 0).
+        expected = alphas * dV1 + alphas**2 * dV2
+        improve = cost - costs_a
+        ok = improve > 1e-4 * jnp.maximum(-expected, 0.0)
+        any_ok = jnp.any(ok)
+        best = jnp.argmin(jnp.where(ok, costs_a, big))
+
+        us_new = jnp.where(any_ok, us_a[best], us)
+        xs_new = jnp.where(any_ok, xs_a[best], xs)
+        cost_new = jnp.where(any_ok, costs_a[best], cost)
+        reg_new = jnp.where(
+            any_ok,
+            jnp.maximum(reg * 0.2, hp.reg_min),
+            jnp.minimum(jnp.maximum(reg, 1e-4) * 8.0, hp.reg_max),
+        )
+        return (us_new, xs_new, cost_new, reg_new, pg), None
+
+    reg0 = jnp.asarray(hp.reg_init, dtype=dtype)
+    carry = (us0, xs0, cost0, reg0, jnp.asarray(jnp.inf, dtype=dtype))
+    (us, xs, cost, reg, grad_norm), _ = jax.lax.scan(
+        iteration, carry, None, length=hp.iters
+    )
+    return SolveResult(
+        us=us,
+        xs=xs,
+        cost=cost,
+        grad_norm=grad_norm,
+        converged=grad_norm < hp.grad_tol,
+        reg=reg,
+    )
+
+
+def solve_batched(
+    problems: MPCProblem,
+    us_init: jax.Array,
+    sp: SolverParams,
+    hp: SolverHyper = SolverHyper(),
+) -> SolveResult:
+    """Batch of independent MPC solves: every leaf of ``problems`` and
+    ``us_init`` carries a leading scenario axis. This is the unit the mesh
+    shards over (scenario data parallelism, SURVEY.md §2.5)."""
+    return jax.vmap(lambda p, u: solve(p, u, sp, hp))(problems, us_init)
+
+
+def hover_warm_start(n: int, dtype=jnp.float32) -> jax.Array:
+    """Initial control guess: hover thrust (the reference seeds zeros but is
+    always warm-started in practice; hover converges faster cold)."""
+    u = jnp.zeros((n, CONTROL_DIM), dtype=dtype)
+    return u.at[:, 2].set(9.81)
+
+
+assert STATE_DIM == 10 and CONTROL_DIM == 4

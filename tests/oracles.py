@@ -89,7 +89,9 @@ def stage_costs(xs, us, ref, obstacles, target, q_goal, q_path, q_u, lam, radius
             for o in obstacles[k]:
                 vec = o - xk1[0:3]
                 dist = np.linalg.norm(vec)
-                vproj = abs(xk1[4:7] @ (vec / dist))
+                # smoothed |.| matching avoid_mpc_tpu.models.costs.ABS_SMOOTHING
+                z = xk1[4:7] @ (vec / dist)
+                vproj = np.sqrt(z * z + 1e-8)
                 total += lam * softplus(-32.0 * (dist - radius)) * vproj
     return total
 

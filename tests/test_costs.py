@@ -87,7 +87,7 @@ def test_collision_cost_close_obstacle_positive_and_velocity_scaled():
     assert c1 > 0
     x2 = x.at[4].set(6.0)
     c2 = float(collision_cost(x2, obs, CP))
-    np.testing.assert_allclose(c2, 2 * c1, rtol=1e-12)  # linear in |v.dir|
+    np.testing.assert_allclose(c2, 2 * c1, rtol=1e-8)  # ~linear in |v.dir|
 
 
 def test_cost_grads_finite():
