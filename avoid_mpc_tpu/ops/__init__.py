@@ -1,0 +1,12 @@
+from avoid_mpc_tpu.ops.knn import (  # noqa: F401
+    knn,
+    knn_chunked,
+    nearest_distance,
+    FAR_SENTINEL,
+)
+from avoid_mpc_tpu.ops.depth import (  # noqa: F401
+    CameraModel,
+    depth_to_points,
+    edge_cloud,
+    process_depth_frame,
+)
