@@ -1,0 +1,218 @@
+"""Receding-horizon engine tests: closed-loop behavior with the lag plant.
+
+The plant is the MPC's own first-order-lag model (the minimum fidelity loop;
+the 6-DoF plant lives in avoid_mpc_tpu.sim) — exactly the setup SURVEY.md §7
+step 3 prescribes for the minimum end-to-end slice.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avoid_mpc_tpu.config import EngineConfig, MPCConfig, PerceptionConfig, TaskConfig
+from avoid_mpc_tpu.engine import (
+    EngineHyper,
+    EngineParams,
+    EngineState,
+    engine_init,
+    receding_step,
+)
+from avoid_mpc_tpu.mapping import MapShape, map_add_frame, map_init
+from avoid_mpc_tpu.models.quadrotor import DynamicsParams, rk4_step
+
+CFG = EngineConfig(
+    mpc=dataclasses.replace(MPCConfig(), sqp_iters=8, sqp_iters_fast=5, speed=5.0),
+    task=TaskConfig(height=1.5, goal_x=500.0),
+)
+DTYPE = jnp.float64
+P = EngineParams.from_config(CFG, dtype=DTYPE)
+H = EngineHyper.from_config(CFG)
+N = CFG.mpc.horizon_steps
+SHAPE = MapShape(n_frames=2, points_per_frame=64)
+DP = DynamicsParams.from_config(CFG.mpc, dtype=DTYPE)
+
+
+def hover_state(x=0.0, z=1.5):
+    return jnp.zeros(10, dtype=DTYPE).at[0].set(x).at[2].set(z)
+
+
+def empty_map():
+    return map_init(SHAPE, dtype=DTYPE)
+
+
+def map_with_points(pts_np, edge_pts_np=None):
+    m = map_init(SHAPE, dtype=DTYPE)
+    p = SHAPE.points_per_frame
+    pts = np.full((p, 3), 0.0)
+    mask = np.zeros(p, bool)
+    k = min(len(pts_np), p)
+    pts[:k] = pts_np[:k]
+    mask[:k] = True
+    if edge_pts_np is None:
+        epts, emask = pts, np.zeros(p, bool)
+    else:
+        epts = np.full((p, 3), 0.0)
+        emask = np.zeros(p, bool)
+        ke = min(len(edge_pts_np), p)
+        epts[:ke] = edge_pts_np[:ke]
+        emask[:ke] = True
+    return map_add_frame(
+        m,
+        jnp.asarray(pts, DTYPE), jnp.asarray(mask),
+        jnp.asarray(epts, DTYPE), jnp.asarray(emask),
+        jnp.eye(4, dtype=DTYPE),
+    )
+
+
+@jax.jit
+def tick(state, quad, m):
+    return receding_step(state, quad, m, P, H)
+
+
+def run_closed_loop(n_ticks, m, x0=None):
+    state = engine_init(CFG, dtype=DTYPE)
+    quad = hover_state() if x0 is None else x0
+    traj = [quad]
+    outs = []
+    for _ in range(n_ticks):
+        state, out = tick(state, quad, m)
+        quad = rk4_step(quad, out.u_cmd, CFG.mpc.con_dt, DP)
+        traj.append(quad)
+        outs.append(out)
+    return state, jnp.stack(traj), outs
+
+
+@pytest.fixture(scope="module")
+def forward_flight():
+    return run_closed_loop(90, empty_map())
+
+
+def test_forward_task_reaches_speed(forward_flight):
+    _, traj, outs = forward_flight
+    traj = np.asarray(traj)
+    assert np.all(np.isfinite(traj))
+    # after 3 s the drone should fly near the commanded speed...
+    assert traj[-1, 4] > 0.8 * CFG.mpc.speed
+    # ... level at the task height ...
+    np.testing.assert_allclose(traj[-1, 2], CFG.task.height, atol=0.15)
+    # ... straight ahead
+    assert abs(traj[-1, 1]) < 0.2
+    assert all(bool(o.is_safety) for o in outs)
+
+
+def test_monotone_progress(forward_flight):
+    _, traj, _ = forward_flight
+    x = np.asarray(traj)[:, 0]
+    assert np.all(np.diff(x[30:]) > 0)
+
+
+def test_early_exit_when_safe():
+    """With a far-away populated map: iter 0 runs, iter 1 exits."""
+    m = map_with_points(np.array([[50.0, 20.0, 1.5]]))
+    state = engine_init(CFG, dtype=DTYPE)
+    state, out = tick(state, hover_state(), m)
+    assert int(out.outer_iters) == 1
+    assert not bool(out.need_replan)
+
+
+def test_empty_map_keeps_replanning_flag(forward_flight):
+    """Empty map -> 'not enough points' path: need_replan stays True but the
+    MPC command is still used (reference warns and pads, :224-231)."""
+    _, _, outs = forward_flight
+    assert all(bool(o.need_replan) for o in outs)
+    assert all(int(o.outer_iters) == H.max_outer_iters for o in outs)
+
+
+def test_slow_down_fallback_without_edges():
+    """First waypoint inside the safety margin and NO edge cloud ->
+    is_safety False and the PD slow-down command (:345-350, 379-397)."""
+    state = engine_init(CFG, dtype=DTYPE)
+    quad = hover_state().at[4].set(3.0)  # moving forward
+    # obstacle exactly at the first shifted ref waypoint region
+    p1 = np.asarray(state.ref_path[1, 0:3])
+    m = map_with_points(p1[None, :] + 1e-4)
+    state2, out = tick(state, quad, m)
+    assert not bool(out.is_safety)
+    kp, kd = CFG.mpc.slow_down_kp, CFG.mpc.slow_down_kd
+    v = np.asarray(quad[4:7])
+    a = np.asarray(quad[7:10])
+    want = -v * kp - a * kd + np.array([0, 0, 9.8])
+    np.testing.assert_allclose(np.asarray(out.u_cmd[:3]), want, atol=1e-9)
+
+
+def test_edge_warm_start_replaces_waypoint():
+    """First waypoint unsafe + edge points present -> waypoint snaps to the
+    nearest edge point and the tick stays safe (:259-281)."""
+    state = engine_init(CFG, dtype=DTYPE)
+    p1 = np.asarray(state.ref_path[1, 0:3])
+    edge = np.array([[p1[0], p1[1] + 1.0, p1[2]]])  # escape point 1m left
+    m = map_with_points(p1[None, :] + 1e-4, edge_pts_np=edge)
+    state2, out = tick(state, hover_state(), m)
+    assert bool(out.is_safety)
+
+
+def test_horizon_shift_semantics():
+    state = engine_init(CFG, dtype=DTYPE)
+    quad = hover_state(x=2.0)
+    state2, _ = tick(state, quad, empty_map())
+    # terminal ref row was rebuilt: x = min(pos_x + speed*T, goal_x), vx=speed
+    # (then the row was replaced by predicted nodes; check the shift via
+    # running the pure shift helper instead)
+    from avoid_mpc_tpu.engine.receding import _shift_horizon
+
+    shifted = _shift_horizon(state, quad[0:3], P, H)
+    np.testing.assert_allclose(
+        float(shifted.ref_path[-1, 0]), min(2.0 + CFG.mpc.speed * CFG.mpc.mpc_T, 500.0)
+    )
+    np.testing.assert_allclose(float(shifted.ref_path[-1, 4]), CFG.mpc.speed)
+    np.testing.assert_allclose(
+        np.asarray(shifted.ref_path[:-1, 0]), np.asarray(state.ref_path[1:, 0])
+    )
+    np.testing.assert_allclose(np.asarray(shifted.ref_path[:, 2]), CFG.task.height)
+
+
+def test_avoidance_around_wall():
+    """A dense wall patch on the straight path (what a depth frame actually
+    produces): the closed loop must deviate and keep clearance above the
+    replan safety margin, then make progress past the wall.
+
+    The wall is offset +0.1 m in y (like the reference benchmark's goal
+    y=0.1, tools/mpc_obstacle_casadi.py:458) — a perfectly symmetric wall is
+    a zero-gradient saddle no descent method can break.
+    """
+    ys = np.linspace(-0.9, 1.1, 8)
+    zs = np.linspace(0.1, 3.0, 8)
+    yy, zz = np.meshgrid(ys, zs)
+    wall = np.stack([np.full(64, 4.0), yy.ravel(), zz.ravel()], axis=1)
+    # edge points: the wall's lateral borders (what Canny would find)
+    border = (np.abs(yy.ravel() - ys[0]) < 1e-9) | (np.abs(yy.ravel() - ys[-1]) < 1e-9)
+    edges = wall[border]
+    m = map_with_points(wall, edge_pts_np=edges)
+    _, traj, outs = run_closed_loop(140, m)
+    traj = np.asarray(traj)
+    assert np.all(np.isfinite(traj))
+    # clearance above the replan safety margin (soft cost, not hard constraint)
+    d = np.sqrt(((traj[:, None, 0:3] - wall[None]) ** 2).sum(-1)).min()
+    assert d > CFG.mpc.safety_distance, d
+    # the drone deviates (laterally or vertically) to get around
+    dev = max(np.abs(traj[:, 1]).max(), np.abs(traj[:, 2] - 1.5).max())
+    assert dev > 0.3, dev
+    # and still makes forward progress past the wall
+    assert traj[-1, 0] > 4.5, traj[-1, 0]
+
+
+def test_batched_engine_vmaps():
+    state = engine_init(CFG, dtype=DTYPE)
+    quads = jnp.stack([hover_state(0.0), hover_state(1.0)])
+    states = jax.tree.map(lambda a: jnp.stack([a, a]), state)
+    maps = jax.tree.map(lambda a: jnp.stack([a, a]), empty_map())
+    bstep = jax.jit(jax.vmap(lambda s, q, m: receding_step(s, q, m, P, H)))
+    (new_states, outs) = bstep(states, quads, maps)
+    s0, o0 = tick(state, quads[0], empty_map())
+    np.testing.assert_allclose(
+        np.asarray(outs.u_cmd[0]), np.asarray(o0.u_cmd), atol=1e-8
+    )
+    assert outs.u_cmd.shape == (2, 4)
