@@ -1,0 +1,16 @@
+from avoid_mpc_tpu.sim.plant import (  # noqa: F401
+    SixDofParams,
+    SixDofState,
+    sixdof_init,
+    sixdof_step,
+)
+from avoid_mpc_tpu.sim.sensors import (  # noqa: F401
+    ObstacleField,
+    render_depth,
+    imu_measure,
+)
+from avoid_mpc_tpu.sim.scenarios import (  # noqa: F401
+    ScenarioConfig,
+    random_forest,
+    random_start_states,
+)

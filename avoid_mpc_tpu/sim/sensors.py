@@ -1,0 +1,184 @@
+"""Sensor models: analytic depth-camera raycaster + IMU.
+
+Replaces the Unreal/AirSim rendering + sensor stack for closed-loop
+evaluation:
+
+- **depth camera**: planar-depth raycast against an analytic obstacle field
+  (vertical cylinders + spheres + ground plane) — the synthetic stand-in for
+  ``simGetImages`` DepthPlanar (``airsim_ros_wrapper.cpp:1233-1285``).
+  Gaussian noise with sigma ``depth_std_dev`` is added exactly like the
+  bridge does (``cv::randn``, :1274-1277, launch value 0.02).
+- **IMU**: body-frame specific force + gyro with bias random walk and white
+  noise — the ``ImuSimple`` model (``AirLib/include/sensors/imu/
+  ImuSimple.hpp``) reduced to its closed-loop-relevant parts.
+
+Rays are evaluated as one (H*W, K) batch per frame — pure VPU work that
+batches over scenarios with vmap.  Planar depth = distance along the camera
+forward axis (AirSim DepthPlanar convention).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from avoid_mpc_tpu.config import PerceptionConfig
+
+GRAVITY = 9.81
+
+
+class ObstacleField(NamedTuple):
+    """Analytic obstacle primitives. Fixed K per kind with validity masks."""
+
+    cyl_xy: jax.Array  # (Kc, 2) vertical cylinder axis positions
+    cyl_r: jax.Array  # (Kc,) radii
+    cyl_mask: jax.Array  # (Kc,) bool
+    sph_c: jax.Array  # (Ks, 3) sphere centers
+    sph_r: jax.Array  # (Ks,)
+    sph_mask: jax.Array  # (Ks,)
+
+    @staticmethod
+    def empty(n_cyl: int = 32, n_sph: int = 8, dtype=jnp.float32) -> "ObstacleField":
+        return ObstacleField(
+            cyl_xy=jnp.zeros((n_cyl, 2), dtype=dtype),
+            cyl_r=jnp.ones(n_cyl, dtype=dtype),
+            cyl_mask=jnp.zeros(n_cyl, dtype=bool),
+            sph_c=jnp.zeros((n_sph, 3), dtype=dtype),
+            sph_r=jnp.ones(n_sph, dtype=dtype),
+            sph_mask=jnp.zeros(n_sph, dtype=bool),
+        )
+
+
+def _ray_cylinder(o: jax.Array, d: jax.Array, cxy: jax.Array, r: jax.Array):
+    """Smallest positive t with |(o + t d)_xy - c| = r. (R,1) vs (K,)."""
+    oxy = o[0:2]
+    dxy = d[..., 0:2]  # (R,2)
+    a = jnp.sum(dxy * dxy, axis=-1)[:, None]  # (R,1)
+    fo = oxy[None, :] - cxy  # (K,2)
+    b2 = 2.0 * (dxy @ fo.T)  # (R,K)
+    c = jnp.sum(fo * fo, axis=-1)[None, :] - (r**2)[None, :]  # (1,K)->(R,K)
+    disc = b2 * b2 - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b2 - sq) / jnp.maximum(2.0 * a, 1e-12)
+    t1 = (-b2 + sq) / jnp.maximum(2.0 * a, 1e-12)
+    t = jnp.where(t0 > 1e-4, t0, t1)
+    hit = (disc > 0.0) & (t > 1e-4)
+    return jnp.where(hit, t, jnp.inf)
+
+
+def _ray_sphere(o: jax.Array, d: jax.Array, c: jax.Array, r: jax.Array):
+    f = o[None, :] - c  # (K,3)
+    b2 = 2.0 * (d @ f.T)  # (R,K)
+    cc = jnp.sum(f * f, axis=-1)[None, :] - (r**2)[None, :]
+    disc = b2 * b2 - 4.0 * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b2 - sq) / 2.0
+    t1 = (-b2 + sq) / 2.0
+    t = jnp.where(t0 > 1e-4, t0, t1)
+    hit = (disc > 0.0) & (t > 1e-4)
+    return jnp.where(hit, t, jnp.inf)
+
+
+def render_depth(
+    Twc: jax.Array,
+    field: ObstacleField,
+    pcfg: PerceptionConfig,
+    height: int | None = None,
+    width: int | None = None,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Render a planar-depth image (h, w) from camera pose Twc (4,4).
+
+    Camera convention: x right, y down, z forward (the pinhole model the map
+    back-projects with, FrameKDMap.cpp:131-138) — so this output feeds
+    ``ops.depth.process_depth_frame`` directly.  When ``key`` is given,
+    Gaussian noise sigma=``depth_std_dev`` is added (bridge parity).
+    """
+    h = height or pcfg.height
+    w = width or pcfg.width
+    dtype = Twc.dtype
+    scale_u = pcfg.width / w
+    scale_v = pcfg.height / h
+    fx, fy = pcfg.fx / scale_u, pcfg.fy / scale_v
+    cx, cy = pcfg.cx / scale_u, pcfg.cy / scale_v
+
+    u = jnp.arange(w, dtype=dtype)[None, :]
+    v = jnp.arange(h, dtype=dtype)[:, None]
+    dirs_cam = jnp.stack(
+        [
+            jnp.broadcast_to((u - cx) / fx, (h, w)),
+            jnp.broadcast_to((v - cy) / fy, (h, w)),
+            jnp.ones((h, w), dtype=dtype),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)  # (R,3), z = forward, planar depth = t (unit-z rays)
+
+    R = Twc[:3, :3]
+    o = Twc[:3, 3]
+    dirs_world = dirs_cam @ R.T  # (R,3)
+
+    t_cyl = _ray_cylinder(o, dirs_world, field.cyl_xy, field.cyl_r)
+    t_cyl = jnp.where(field.cyl_mask[None, :], t_cyl, jnp.inf)
+    t_sph = _ray_sphere(o, dirs_world, field.sph_c, field.sph_r)
+    t_sph = jnp.where(field.sph_mask[None, :], t_sph, jnp.inf)
+
+    # ground plane z=0
+    dz = dirs_world[:, 2]
+    t_gnd = jnp.where(dz < -1e-6, -o[2] / dz, jnp.inf)
+
+    t = jnp.minimum(jnp.minimum(t_cyl.min(axis=1), t_sph.min(axis=1)), t_gnd)
+    # planar depth: rays have unit z in camera frame, so depth == t
+    depth = jnp.where(jnp.isfinite(t), t, 2.0 * pcfg.depth_max).reshape(h, w)
+    if key is not None:
+        depth = depth + pcfg.depth_std_dev * jax.random.normal(key, depth.shape, dtype)
+    return depth
+
+
+class ImuParams(NamedTuple):
+    accel_noise: jax.Array  # white noise sigma [m/s^2]
+    gyro_noise: jax.Array  # [rad/s]
+    accel_bias_walk: jax.Array  # bias random-walk sigma per sqrt(s)
+    gyro_bias_walk: jax.Array
+
+    @staticmethod
+    def default(dtype=jnp.float32) -> "ImuParams":
+        # magnitudes from ImuSimple.hpp defaults, rounded
+        return ImuParams(
+            accel_noise=jnp.asarray(0.05, dtype=dtype),
+            gyro_noise=jnp.asarray(0.005, dtype=dtype),
+            accel_bias_walk=jnp.asarray(0.001, dtype=dtype),
+            gyro_bias_walk=jnp.asarray(0.0001, dtype=dtype),
+        )
+
+
+def imu_measure(
+    q: jax.Array,
+    a_world: jax.Array,
+    w_body: jax.Array,
+    bias: jax.Array,  # (6,) accel+gyro bias state
+    dt: jax.Array,
+    params: ImuParams,
+    key: jax.Array,
+):
+    """One IMU sample: specific force f_b = R^T (a + g e_z), gyro = w, plus
+    bias random walk + white noise (ImuSimple semantics). Returns
+    (accel_meas, gyro_meas, new_bias)."""
+    from avoid_mpc_tpu.utils.quaternion import quat_to_rotmat
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    dtype = a_world.dtype
+    g = jnp.asarray([0.0, 0.0, GRAVITY], dtype=dtype)
+    f_body = quat_to_rotmat(q).T @ (a_world + g)
+    sq = jnp.sqrt(dt)
+    bias = bias + jnp.concatenate(
+        [
+            params.accel_bias_walk * sq * jax.random.normal(k1, (3,), dtype),
+            params.gyro_bias_walk * sq * jax.random.normal(k2, (3,), dtype),
+        ]
+    )
+    noise = jax.random.normal(k3, (6,), dtype)
+    accel = f_body + bias[:3] + params.accel_noise * noise[:3]
+    gyro = w_body + bias[3:] + params.gyro_noise * noise[3:]
+    return accel, gyro, bias
