@@ -1,0 +1,6 @@
+from avoid_mpc_tpu.runtime.native import (  # noqa: F401
+    FrameRing,
+    HostKDTree,
+    Scheduler,
+    native_available,
+)

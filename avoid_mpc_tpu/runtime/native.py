@@ -1,0 +1,204 @@
+"""ctypes bindings for the native host runtime (``runtime/*.cpp``).
+
+The reference's native runtime pieces — per-topic callback queues, nanoflann
+KD-trees, and AirLib's ScheduledExecutor — map to three C++ components built
+into ``libavoidmpc_host.so``:
+
+- :class:`FrameRing`: lock-free SPSC ring for fixed-size sensor frames,
+- :class:`HostKDTree`: from-scratch 3-D KD-tree (CPU oracle / host-only k-NN),
+- :class:`Scheduler`: fixed-rate task threads with overrun + latency stats
+  (the measured latency feeds the MPC ``decay`` like the reference's own
+  solve-time feedback).
+
+The library auto-builds with ``make`` on first use; ``native_available()``
+reports whether the toolchain produced it (pure-JAX paths never depend on it).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_RUNTIME_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "runtime")
+_LIB_PATH = os.path.join(_RUNTIME_DIR, "libavoidmpc_host.so")
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _RUNTIME_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except (subprocess.SubprocessError, OSError) as e:
+                raise RuntimeError(f"native runtime build failed: {e}") from e
+        lib = ctypes.CDLL(_LIB_PATH)
+
+        lib.frame_ring_create.restype = ctypes.c_void_p
+        lib.frame_ring_create.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+        lib.frame_ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.frame_ring_push.restype = ctypes.c_int
+        lib.frame_ring_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double]
+        for f in ("frame_ring_pop", "frame_ring_pop_latest"):
+            getattr(lib, f).restype = ctypes.c_int
+            getattr(lib, f).argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_double)
+            ]
+        lib.frame_ring_dropped.restype = ctypes.c_uint64
+        lib.frame_ring_dropped.argtypes = [ctypes.c_void_p]
+        lib.frame_ring_size.restype = ctypes.c_uint64
+        lib.frame_ring_size.argtypes = [ctypes.c_void_p]
+
+        lib.kdtree_build.restype = ctypes.c_void_p
+        lib.kdtree_build.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int32]
+        lib.kdtree_destroy.argtypes = [ctypes.c_void_p]
+        lib.kdtree_knn.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+
+        lib.scheduler_create.restype = ctypes.c_void_p
+        lib.scheduler_add_task.restype = ctypes.c_int
+        _TASK_FN = ctypes.CFUNCTYPE(None, ctypes.c_void_p)
+        lib.scheduler_add_task.argtypes = [ctypes.c_void_p, _TASK_FN, ctypes.c_void_p, ctypes.c_double]
+        lib._TASK_FN = _TASK_FN
+        for f in ("scheduler_start", "scheduler_stop", "scheduler_destroy"):
+            getattr(lib, f).argtypes = [ctypes.c_void_p]
+        lib.scheduler_ticks.restype = ctypes.c_uint64
+        lib.scheduler_ticks.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.scheduler_overruns.restype = ctypes.c_uint64
+        lib.scheduler_overruns.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.scheduler_latency.restype = ctypes.c_double
+        lib.scheduler_latency.argtypes = [ctypes.c_void_p, ctypes.c_int]
+
+        _lib = lib
+        return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except RuntimeError:
+        return False
+
+
+class FrameRing:
+    """SPSC ring of fixed-size frames (e.g. depth images) between a sensor
+    thread and the device-feeding loop."""
+
+    def __init__(self, slot_bytes: int, capacity: int):
+        self._lib = _load()
+        self._slot = slot_bytes
+        self._ptr = self._lib.frame_ring_create(slot_bytes, capacity)
+
+    def push(self, frame: np.ndarray, stamp: float) -> bool:
+        buf = np.ascontiguousarray(frame).view(np.uint8).reshape(-1)
+        assert buf.nbytes == self._slot, (buf.nbytes, self._slot)
+        return bool(self._lib.frame_ring_push(self._ptr, buf.tobytes(), stamp))
+
+    def _pop(self, fn) -> tuple[np.ndarray, float] | None:
+        out = ctypes.create_string_buffer(self._slot)
+        stamp = ctypes.c_double()
+        if not fn(self._ptr, out, ctypes.byref(stamp)):
+            return None
+        return np.frombuffer(out.raw, dtype=np.uint8).copy(), stamp.value
+
+    def pop(self):
+        return self._pop(self._lib.frame_ring_pop)
+
+    def pop_latest(self):
+        """Freshest frame, discarding the backlog (latency-first)."""
+        return self._pop(self._lib.frame_ring_pop_latest)
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.frame_ring_dropped(self._ptr))
+
+    def __len__(self) -> int:
+        return int(self._lib.frame_ring_size(self._ptr))
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            self._lib.frame_ring_destroy(self._ptr)
+            self._ptr = None
+
+
+class HostKDTree:
+    """From-scratch C++ KD-tree over (n,3) points; k-NN queries."""
+
+    def __init__(self, points: np.ndarray):
+        self._lib = _load()
+        pts = np.ascontiguousarray(points, dtype=np.float32)
+        assert pts.ndim == 2 and pts.shape[1] == 3
+        self._n = pts.shape[0]
+        self._ptr = self._lib.kdtree_build(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), self._n
+        )
+
+    def query(self, queries: np.ndarray, k: int):
+        """Returns (dists, idx): (m,k) ascending distances (inf pad) and
+        point ids (-1 pad)."""
+        q = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, 3)
+        m = q.shape[0]
+        idx = np.empty((m, k), dtype=np.int32)
+        d2 = np.empty((m, k), dtype=np.float32)
+        self._lib.kdtree_knn(
+            self._ptr,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m, k,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            d2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return np.sqrt(d2), idx
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            self._lib.kdtree_destroy(self._ptr)
+            self._ptr = None
+
+
+class Scheduler:
+    """Fixed-rate task threads with overrun/latency accounting."""
+
+    def __init__(self):
+        self._lib = _load()
+        self._ptr = self._lib.scheduler_create()
+        self._callbacks = []  # keep CFUNCTYPE refs alive
+
+    def add_task(self, fn, period_s: float) -> int:
+        cb = self._lib._TASK_FN(lambda _arg: fn())
+        self._callbacks.append(cb)
+        return self._lib.scheduler_add_task(self._ptr, cb, None, period_s)
+
+    def start(self):
+        self._lib.scheduler_start(self._ptr)
+
+    def stop(self):
+        self._lib.scheduler_stop(self._ptr)
+
+    def ticks(self, task: int) -> int:
+        return int(self._lib.scheduler_ticks(self._ptr, task))
+
+    def overruns(self, task: int) -> int:
+        return int(self._lib.scheduler_overruns(self._ptr, task))
+
+    def latency(self, task: int) -> float:
+        """EWMA task latency in seconds — the `decay` feedback source."""
+        return float(self._lib.scheduler_latency(self._ptr, task))
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            self._lib.scheduler_destroy(self._ptr)
+            self._ptr = None

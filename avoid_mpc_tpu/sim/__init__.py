@@ -14,3 +14,13 @@ from avoid_mpc_tpu.sim.scenarios import (  # noqa: F401
     random_forest,
     random_start_states,
 )
+from avoid_mpc_tpu.sim.world import (  # noqa: F401
+    MISSION_TASK,
+    WorldDiag,
+    WorldState,
+    build_world,
+    field_clearance,
+    rollout_world,
+    world_init,
+    world_step,
+)

@@ -1,0 +1,300 @@
+"""Full-stack closed loop: sensors -> map -> MPC engine -> bfctrl -> 6-DoF.
+
+The whole reference system graph in one jitted, batched step function —
+what the four processes (AirSim+Unreal, airsim_node, bfctrl,
+mpc_obstacle_avoidance_node) and their ROS topics do across
+``launch/mpc_obstacle_avoidance_sim.launch``, collapsed to a pure function:
+
+per control tick (con_dt = 0.033 s):
+1. render a planar-depth frame from the true camera pose (+ sensor noise) —
+   the 30 Hz image loop (``airsim_ros_wrapper.cpp:1129-1285``),
+2. depth -> obstacle/edge clouds -> rolling-map ingest + keyframe
+   maintenance (``FrameKDMap`` lifecycle),
+3. mission FSM INIT/WAIT/TAKEOFF/TASK/LAND
+   (``AvoidanceStateMachine.cpp:283-368``) with latency-compensated state
+   prediction (``GetCurStateQuad`` :183-203),
+4. in TASK: the receding-horizon engine step -> acceleration command,
+5. bfctrl FSM + geometric controller -> attitude+thrust,
+6. 6-DoF plant with attitude cascade -> next true state.
+
+Everything is a pure function of (WorldState, ObstacleField, params, key):
+vmap for the Monte-Carlo fleet, ``lax.scan`` for trajectories.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from avoid_mpc_tpu.config import EngineConfig, PerceptionConfig
+from avoid_mpc_tpu.control.bfctrl import (
+    BfctrlParams,
+    BfctrlState,
+    CommandInput,
+    STATUS_CMD,
+    STATUS_WAITINGCMD,
+    bfctrl_init,
+    bfctrl_step,
+)
+from avoid_mpc_tpu.control.geometric import CMD_ACCELERATION
+from avoid_mpc_tpu.engine import (
+    EngineHyper,
+    EngineParams,
+    EngineState,
+    engine_init,
+    receding_step,
+)
+from avoid_mpc_tpu.mapping import (
+    MapShape,
+    RollingMap,
+    map_add_frame,
+    map_init,
+    map_keyframe_update,
+)
+from avoid_mpc_tpu.ops.depth import CameraModel, process_depth_frame
+from avoid_mpc_tpu.sim.plant import (
+    SixDofParams,
+    SixDofState,
+    sixdof_init,
+    sixdof_step,
+    sixdof_to_mpc_state,
+)
+from avoid_mpc_tpu.sim.sensors import ObstacleField, render_depth
+
+# Mission FSM (AvoidanceStateMachine.h:19-25)
+MISSION_INIT = 0
+MISSION_WAIT = 1
+MISSION_TAKEOFF = 2
+MISSION_TASK = 3
+MISSION_LAND = 4
+
+
+class WorldParams(NamedTuple):
+    engine: EngineParams
+    bfctrl: BfctrlParams
+    plant: SixDofParams
+    cam: CameraModel
+    Tbc: jax.Array
+    con_dt: jax.Array
+    decay: jax.Array
+    height: jax.Array
+    depth_min: jax.Array
+    dedupe_dist: jax.Array
+    dedupe_count: jax.Array
+
+
+class WorldHyper(NamedTuple):
+    engine: EngineHyper
+    map_shape: MapShape
+    render_h: int
+    render_w: int
+    pcfg: PerceptionConfig  # static python config for the renderer
+    use_depth_noise: bool = True
+
+
+def build_world(
+    cfg: EngineConfig,
+    render_scale: int = 1,
+    grid_scale: int | None = None,
+    map_frames: int = 16,
+    dtype=jnp.float32,
+) -> tuple[WorldParams, WorldHyper]:
+    """Assemble params for a world whose camera renders at
+    (height/render_scale, width/render_scale), with the perception grid a
+    further ``grid_scale`` coarser (the reference's resize_scale role).
+
+    Defaults reproduce the reference geometry exactly: 640x480 render,
+    /10 grid -> 64x48 = 3072 points per frame.  Reduced-fidelity sweeps pick
+    render_scale>1 and a grid_scale that keeps the map a sane size
+    (points/frame = render_w/grid_scale * render_h/grid_scale).
+    """
+    p = cfg.perception
+    if grid_scale is None:
+        grid_scale = max(p.resize_scale // render_scale, 1)
+    render_h, render_w = p.height // render_scale, p.width // render_scale
+    sim_pcfg = dataclasses.replace(
+        p,
+        width=render_w,
+        height=render_h,
+        fx=p.fx / render_scale,
+        fy=p.fy / render_scale,
+        cx=p.cx / render_scale,
+        cy=p.cy / render_scale,
+        resize_scale=grid_scale,
+        max_frame_count=map_frames,
+    )
+    cam = CameraModel.from_config(sim_pcfg, dtype=dtype)
+    params = WorldParams(
+        engine=EngineParams.from_config(cfg, dtype=dtype),
+        bfctrl=BfctrlParams.default(dtype=dtype)._replace(
+            takeoff_height=jnp.asarray(cfg.task.height, dtype=dtype)
+        ),
+        plant=SixDofParams.default(dtype=dtype),
+        cam=cam,
+        Tbc=jnp.asarray(p.Tbc, dtype=dtype),
+        con_dt=jnp.asarray(cfg.mpc.con_dt, dtype=dtype),
+        decay=jnp.asarray(cfg.mpc.decay, dtype=dtype),
+        height=jnp.asarray(cfg.task.height, dtype=dtype),
+        depth_min=jnp.asarray(p.depth_min, dtype=dtype),
+        dedupe_dist=jnp.asarray(p.keyframe_dist_threshold, dtype=dtype),
+        dedupe_count=jnp.asarray(p.keyframe_count_threshold, jnp.int32),
+    )
+    hyper = WorldHyper(
+        engine=EngineHyper.from_config(cfg),
+        map_shape=MapShape.from_config(sim_pcfg),
+        render_h=render_h,
+        render_w=render_w,
+        pcfg=sim_pcfg,
+    )
+    return params, hyper
+
+
+class WorldState(NamedTuple):
+    plant: SixDofState
+    ctrl: BfctrlState
+    engine: EngineState
+    map: RollingMap
+    mission: jax.Array  # int32
+    t: jax.Array
+    key: jax.Array
+
+
+class WorldDiag(NamedTuple):
+    """Per-tick diagnostics (the rosbag topics of the reference)."""
+
+    p: jax.Array  # (3,) true position
+    v: jax.Array  # (3,)
+    mission: jax.Array
+    bf_status: jax.Array
+    is_safety: jax.Array
+    clearance: jax.Array  # analytic distance to the obstacle field
+    u_cmd: jax.Array  # (4,) engine acceleration command
+
+
+def world_init(
+    cfg: EngineConfig, params: WorldParams, hyper: WorldHyper,
+    start_xy: jax.Array, key: jax.Array, dtype=jnp.float32,
+) -> WorldState:
+    p0 = jnp.concatenate([start_xy, jnp.zeros(1, dtype=dtype)])
+    return WorldState(
+        plant=sixdof_init(p0, dtype=dtype),
+        ctrl=bfctrl_init(params.bfctrl),
+        engine=engine_init(cfg, dtype=dtype),
+        map=map_init(hyper.map_shape, dtype=dtype),
+        mission=jnp.asarray(MISSION_INIT, jnp.int32),
+        t=jnp.asarray(0.0, dtype=dtype),
+        key=key,
+    )
+
+
+def field_clearance(p: jax.Array, field: ObstacleField) -> jax.Array:
+    """Analytic signed clearance to the obstacle field (ground truth for
+    collision metrics — the reference reads AirSim's collision flag,
+    airsim_ros_wrapper.cpp:972-981)."""
+    d_cyl = jnp.linalg.norm(p[0:2][None, :] - field.cyl_xy, axis=-1) - field.cyl_r
+    d_cyl = jnp.where(field.cyl_mask, d_cyl, jnp.inf)
+    d_sph = jnp.linalg.norm(p[None, :] - field.sph_c, axis=-1) - field.sph_r
+    d_sph = jnp.where(field.sph_mask, d_sph, jnp.inf)
+    return jnp.minimum(d_cyl.min(), d_sph.min())
+
+
+def world_step(
+    ws: WorldState, field: ObstacleField, params: WorldParams, hyper: WorldHyper
+) -> tuple[WorldState, WorldDiag]:
+    dtype = ws.t.dtype
+    key, k_noise = jax.random.split(ws.key)
+    t = ws.t + params.con_dt
+
+    # --- 1+2: perception into the rolling map ---
+    x_true = sixdof_to_mpc_state(ws.plant)
+    from avoid_mpc_tpu.utils.quaternion import quat_to_rotmat
+
+    Twb = jnp.eye(4, dtype=dtype).at[:3, :3].set(quat_to_rotmat(ws.plant.q)).at[:3, 3].set(ws.plant.p)
+    Twc = Twb @ params.Tbc
+    depth = render_depth(
+        Twc, field, hyper.pcfg, hyper.render_h, hyper.render_w,
+        key=k_noise if hyper.use_depth_noise else None,
+    )
+    pts, mask, epts, emask = process_depth_frame(depth, Twb, params.cam)
+    m = map_add_frame(ws.map, pts, mask, epts, emask, Twc)
+    m = map_keyframe_update(
+        m, params.Tbc, params.depth_min, params.dedupe_dist, params.dedupe_count
+    )
+
+    # --- 3: mission FSM ---
+    bf_waiting = (ws.ctrl.fsm == 2) | (ws.ctrl.fsm == 3)  # AUTO_HOVER/CMD_CTRL
+    mission = ws.mission
+    mission = jnp.where((mission == MISSION_INIT), MISSION_WAIT, mission)
+    mission = jnp.where((mission == MISSION_WAIT) & bf_waiting, MISSION_TAKEOFF, mission)
+    reached = ws.plant.p[2] >= 0.6 * params.height
+    mission = jnp.where((mission == MISSION_TAKEOFF) & reached, MISSION_TASK, mission)
+
+    # latency-compensated state prediction (GetCurStateQuad with decay)
+    d = params.decay
+    x_pred = x_true.at[0:3].add(x_true[4:7] * d + 0.5 * x_true[7:10] * d * d).at[4:7].add(
+        x_true[7:10] * d
+    )
+
+    # --- 4: engine (always traced; output gated by mission) ---
+    engine_new, out = receding_step(ws.engine, x_pred, m, params.engine, hyper.engine)
+    in_task = mission == MISSION_TASK
+    engine_state = jax.tree.map(
+        lambda a, b: jnp.where(in_task, a, b), engine_new, ws.engine
+    )
+
+    cmd = CommandInput(
+        mode=jnp.asarray(CMD_ACCELERATION, jnp.int32),
+        p=jnp.zeros(3, dtype=dtype),
+        v=jnp.zeros(3, dtype=dtype),
+        a=out.u_cmd[0:3],
+        w=jnp.zeros(3, dtype=dtype),
+        q=jnp.asarray([1.0, 0, 0, 0], dtype=dtype),
+        yaw=jnp.asarray(0.0, dtype=dtype),  # PubCmd sends yaw=0 (:376)
+        yaw_rate=out.u_cmd[3],
+        thrust=jnp.asarray(0.0, dtype=dtype),
+        age=jnp.where(in_task, 0.0, jnp.inf).astype(dtype),
+    )
+
+    # --- 5: bfctrl ---
+    ctrl_new, u, des, status = bfctrl_step(
+        ws.ctrl, t, ws.plant.p, ws.plant.v, ws.plant.q, cmd,
+        jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dtype=dtype),
+        jnp.asarray(jnp.inf, dtype=dtype), jnp.zeros(2, dtype=dtype),
+        params.bfctrl,
+    )
+
+    # --- 6: plant ---
+    plant_new = sixdof_step(ws.plant, u.q, u.thrust, params.con_dt, params.plant)
+
+    diag = WorldDiag(
+        p=ws.plant.p,
+        v=ws.plant.v,
+        mission=mission,
+        bf_status=status,
+        is_safety=out.is_safety | ~in_task,
+        clearance=field_clearance(ws.plant.p, field),
+        u_cmd=out.u_cmd,
+    )
+    return (
+        WorldState(
+            plant=plant_new, ctrl=ctrl_new, engine=engine_state, map=m,
+            mission=mission, t=t, key=key,
+        ),
+        diag,
+    )
+
+
+def rollout_world(
+    ws: WorldState, field: ObstacleField, params: WorldParams, hyper: WorldHyper,
+    n_ticks: int,
+):
+    """Scan the closed loop for n_ticks. vmap over (ws, field) for the
+    Monte-Carlo fleet."""
+
+    def step(ws, _):
+        return world_step(ws, field, params, hyper)
+
+    return jax.lax.scan(step, ws, None, length=n_ticks)

@@ -40,10 +40,17 @@ def boxqp(
     step (1, 0.5, 0.25): every branch is evaluated and selected with where —
     jit/vmap-safe.
     """
-    dtype = H.dtype
-    z0 = jnp.clip(z0, lb, ub)
+    from avoid_mpc_tpu.solver.linalg import solve4
 
-    def body(z, _):
+    dtype = H.dtype
+    z = jnp.clip(z0, lb, ub)
+    alphas = jnp.asarray([1.0, 0.5, 0.25], dtype=dtype)
+
+    # Unrolled fixed iterations (iters is small and static): no scan carry
+    # overhead inside the already-nested stage loop, and the 4x4 Newton
+    # system uses the closed-form cofactor solve (solver/linalg.py) instead
+    # of a pivoted LU.
+    for _ in range(iters):
         g = H @ z + q
         clamp_lo = (z <= lb + _EPS) & (g > 0)
         clamp_hi = (z >= ub - _EPS) & (g < 0)
@@ -51,18 +58,13 @@ def boxqp(
         mf = free.astype(dtype)
         # Masked free-set Newton system: identity on clamped coords.
         Hff = H * (mf[:, None] * mf[None, :]) + jnp.diag(1.0 - mf)
-        dz = -jnp.linalg.solve(Hff, g * mf) * mf
+        dz = -solve4(Hff, g * mf) * mf
         # Parallel backtracking: pick the best of three candidate steps.
-        alphas = jnp.asarray([1.0, 0.5, 0.25], dtype=dtype)
         cands = jnp.clip(z[None, :] + alphas[:, None] * dz[None, :], lb, ub)
         objs = jax.vmap(lambda zz: _objective(H, q, zz))(cands)
         best = jnp.argmin(objs)
-        z_new = cands[best]
         improved = objs[best] < _objective(H, q, z)
-        z = jnp.where(improved, z_new, z)
-        return z, None
-
-    z, _ = jax.lax.scan(body, z0, None, length=iters)
+        z = jnp.where(improved, cands[best], z)
     g = H @ z + q
     free = jnp.logical_not(((z <= lb + _EPS) & (g > 0)) | ((z >= ub - _EPS) & (g < 0)))
     return z, free

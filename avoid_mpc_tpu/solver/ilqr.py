@@ -38,12 +38,11 @@ import jax.numpy as jnp
 from avoid_mpc_tpu.config import CONTROL_DIM, STATE_DIM, MPCConfig
 from avoid_mpc_tpu.models.costs import (
     CostParams,
-    control_cost,
-    goal_cost,
-    stage_state_cost,
+    collision_cost,
     trajectory_cost,
 )
-from avoid_mpc_tpu.models.quadrotor import DynamicsParams, rk4_step, rollout
+from avoid_mpc_tpu.models.quadrotor import DynamicsParams, rk4_step
+from avoid_mpc_tpu.solver.linalg import solve4_mat
 from avoid_mpc_tpu.solver.boxqp import boxqp
 
 
@@ -110,72 +109,135 @@ class SolveResult(NamedTuple):
     reg: jax.Array  # final regularization (diagnostic)
 
 
-def _node_cost(x, ref_slot, obs_slot, target, is_terminal, cp: CostParams):
-    """State cost at one node: interior gap+collision or terminal goal.
+def _affine_dynamics(sp: SolverParams, dtype):
+    """Exact affine form of the discrete transition for the drag-free model:
+    x_{k+1} = Ad x_k + Bd u_k + cvec.
 
-    Both branches are evaluated (jit-safe select); padding keeps each finite.
+    The no-drag ODE (tools/mpc_obstacle_casadi.py:106-122) is linear
+    time-invariant, and RK4 of an LTI system is itself a constant affine
+    map — so Ad/Bd/cvec are computed ONCE per solve (three jacfwd/eval calls
+    at the origin), eliminating every per-stage, per-iteration dynamics AD
+    pass and turning all rollouts into 10x10 mat-vecs.
     """
-    interior = stage_state_cost(x, ref_slot, obs_slot, cp)
-    terminal = goal_cost(x, target, cp)
-    return jnp.where(is_terminal, terminal, interior)
-
-
-def _linearize(problem: MPCProblem, xs, us, sp: SolverParams):
-    """Parallel linearization of dynamics and costs along the horizon.
-
-    Returns per-stage Jacobians A, B and per-node state-cost grad/Hessian
-    (nodes 1..N), plus per-stage control-cost grad/Hessian. This is the
-    widest, most MXU/VPU-friendly phase — one vmap over N stages, all
-    derivatives by AD (the reference gets these from CasADi codegen'd C).
-    """
-    n = us.shape[0]
-    cp = sp.cost
+    zx = jnp.zeros(STATE_DIM, dtype=dtype)
+    zu = jnp.zeros(CONTROL_DIM, dtype=dtype)
 
     def f(x, u):
         return rk4_step(x, u, sp.dt, sp.dyn)
 
-    A = jax.vmap(jax.jacfwd(f, argnums=0))(xs[:-1], us)  # (N, 10, 10)
-    B = jax.vmap(jax.jacfwd(f, argnums=1))(xs[:-1], us)  # (N, 10, 4)
+    Ad = jax.jacfwd(f, argnums=0)(zx, zu)
+    Bd = jax.jacfwd(f, argnums=1)(zx, zu)
+    cvec = f(zx, zu)
+    return Ad, Bd, cvec
 
-    # State-cost derivatives at nodes 1..N. Node j<N uses ref/obstacle slot
-    # j-1; node N uses the goal term. Terminal slot contents are irrelevant
-    # but must be finite — slot N-1 is a real array entry, fine.
-    is_term = jnp.arange(1, n + 1) == n
 
-    def ncost(x, ref_slot, obs_slot, t):
-        return _node_cost(x, ref_slot, obs_slot, problem.target, t, cp)
+# indices of the collision-relevant state components (position, velocity)
+_PV_IDX = jnp.asarray([0, 1, 2, 4, 5, 6])
 
-    cx = jax.vmap(jax.grad(ncost), in_axes=(0, 0, 0, 0))(
-        xs[1:], problem.ref, problem.obstacles, is_term
-    )  # (N, 10)
-    cxx = jax.vmap(jax.hessian(ncost), in_axes=(0, 0, 0, 0))(
-        xs[1:], problem.ref, problem.obstacles, is_term
-    )  # (N, 10, 10)
+
+def _gap_quadratic(ref, cp: CostParams):
+    """Analytic gap-cost Hessian M = 2 R(yaw)^T diag(q_path) R(yaw): diagonal
+    except the two yaw-rotated 2x2 blocks at (0,1) and (4,5)
+    (reference rot construction, tools/mpc_obstacle_casadi.py:174-185)."""
+    q = cp.q_path
+    c = jnp.cos(ref[..., 3])
+    s = jnp.sin(ref[..., 3])
+
+    def block(qa, qb):
+        m00 = qa * c * c + qb * s * s
+        m11 = qa * s * s + qb * c * c
+        m01 = (qa - qb) * c * s
+        return m00, m01, m11
+
+    p00, p01, p11 = block(q[0], q[1])
+    v00, v01, v11 = block(q[4], q[5])
+    M = jnp.zeros(ref.shape[:-1] + (STATE_DIM, STATE_DIM), dtype=ref.dtype)
+    diag = jnp.broadcast_to(q, ref.shape[:-1] + (STATE_DIM,))
+    M = M.at[..., jnp.arange(STATE_DIM), jnp.arange(STATE_DIM)].set(diag)
+    M = M.at[..., 0, 0].set(p00).at[..., 1, 1].set(p11)
+    M = M.at[..., 0, 1].set(p01).at[..., 1, 0].set(p01)
+    M = M.at[..., 4, 4].set(v00).at[..., 5, 5].set(v11)
+    M = M.at[..., 4, 5].set(v01).at[..., 5, 4].set(v01)
+    return 2.0 * M
+
+
+def _collision_pv(pv, obs, cp: CostParams):
+    """Collision cost as a function of the 6-dim (p, v) sub-state only —
+    keeps the AD Hessian 6x6 instead of 10x10."""
+    x = jnp.zeros(STATE_DIM, dtype=pv.dtype)
+    x = x.at[0:3].set(pv[0:3]).at[4:7].set(pv[3:6])
+    return collision_cost(x, obs, cp)
+
+
+def _linearize(problem: MPCProblem, xs, us, sp: SolverParams):
+    """Cost linearization along the horizon (dynamics are precomputed
+    affine).  Gap and goal derivatives are analytic; only the collision term
+    uses AD, restricted to its 6-dim (p, v) support.  One vmap over stages —
+    the analogue of the reference's ``F.map(N, "openmp")`` fan-out.
+
+    Returns per-node state-cost grad/Hessian for nodes 1..N and per-stage
+    control-cost grad/Hessian.
+    """
+    n = us.shape[0]
+    cp = sp.cost
+    dtype = us.dtype
+
+    # --- interior nodes 1..N-1 (slots 0..N-2) ---
+    interior_x = xs[1:n]  # (N-1, 10)
+    ref = problem.ref[: n - 1]
+    obs = problem.obstacles[: n - 1]
+
+    M = _gap_quadratic(ref, cp)  # (N-1, 10, 10) analytic
+    gap_cx = jnp.einsum("nij,nj->ni", M, interior_x - ref)
+
+    pv = interior_x[:, _PV_IDX]
+    col_g = jax.vmap(jax.grad(_collision_pv), in_axes=(0, 0, None))(pv, obs, cp)
+    col_h = jax.vmap(jax.hessian(_collision_pv), in_axes=(0, 0, None))(pv, obs, cp)
+
+    cx_int = gap_cx.at[:, _PV_IDX].add(col_g)
+    cxx_int = M.at[:, _PV_IDX[:, None], _PV_IDX[None, :]].add(col_h)
+
+    # --- terminal node N: goal quadratic (analytic) ---
+    cx_term = 2.0 * cp.q_goal * (xs[n] - problem.target)
+    cxx_term = jnp.diag(2.0 * cp.q_goal).astype(dtype)
+
+    cx = jnp.concatenate([cx_int, cx_term[None]], axis=0)  # (N, 10)
+    cxx = jnp.concatenate([cxx_int, cxx_term[None]], axis=0)  # (N, 10, 10)
 
     # Control cost is diagonal quadratic — analytic derivatives.
     lu = 2.0 * cp.q_u * (us - cp.u_hover)  # (N, 4)
-    luu = jnp.tile(jnp.diag(2.0 * cp.q_u)[None], (n, 1, 1))  # (N, 4, 4)
-    return A, B, cx, cxx, lu, luu
+    luu = jnp.diag(2.0 * cp.q_u).astype(dtype)  # constant (4, 4)
+    return cx, cxx, lu, luu
 
 
-def _backward(us, A, B, cx, cxx, lu, luu, reg, sp: SolverParams, hp: SolverHyper):
+def _backward(us, Ad, Bd, cx, cxx, lu, luu, reg, sp: SolverParams, hp: SolverHyper):
     """Backward Riccati sweep with per-stage box QPs.
+
+    Dynamics Jacobians are the constant LTI Ad/Bd (or per-stage (N,...)
+    arrays in the generic drag path — both broadcast through the scan).
 
     Carry: (V_x, V_xx) — value expansion at node k+1 *excluding* that node's
     state cost (it is added as the first step of each stage so the terminal
     node's goal term enters naturally).
-    Regularization: Levenberg on the value curvature seen through B
-    (Tassa's state regularization): Quu = luu + B^T (V_xx + reg I) B.
+    Regularization: Levenberg dual scheme (Tassa 2014) — reg through B damps
+    the value curvature, and a direct Quu term keeps the QP PD and bends
+    failed steps toward gradient descent when the collision Hessian goes
+    indefinite.
     """
     n, nu = us.shape
-    nx = A.shape[-1]
+    nx = cx.shape[-1]
     dtype = us.dtype
     eye = jnp.eye(nx, dtype=dtype)
+    eye_u = jnp.eye(nu, dtype=dtype)
+    per_stage_AB = Ad.ndim == 3
 
     def stage(carry, inp):
         Vx, Vxx = carry
-        A_k, B_k, cx_k1, cxx_k1, lu_k, luu_k, u_k = inp
-        # Fold node k+1 state cost into the value expansion.
+        if per_stage_AB:
+            A_k, B_k, cx_k1, cxx_k1, lu_k, u_k = inp
+        else:
+            cx_k1, cxx_k1, lu_k, u_k = inp
+            A_k, B_k = Ad, Bd
         Wx = Vx + cx_k1
         Wxx = Vxx + cxx_k1
         Wxx_reg = Wxx + reg * eye
@@ -183,11 +245,9 @@ def _backward(us, A, B, cx, cxx, lu, luu, reg, sp: SolverParams, hp: SolverHyper
         Qx = A_k.T @ Wx
         Qu = lu_k + B_k.T @ Wx
         Qxx = A_k.T @ Wxx @ A_k
-        Qux = B_k.T @ Wxx_reg @ A_k
-        # Dual regularization (Tassa 2014): reg through B damps the value
-        # curvature; the direct term keeps Quu PD and bends failed steps
-        # toward gradient descent when the collision Hessian goes indefinite.
-        Quu = luu_k + B_k.T @ Wxx_reg @ B_k + reg * jnp.eye(nu, dtype=dtype)
+        BtW = B_k.T @ Wxx_reg
+        Qux = BtW @ A_k
+        Quu = luu + BtW @ B_k + reg * eye_u
         Quu = 0.5 * (Quu + Quu.T)
 
         # Box QP over the control delta: bounds relative to current u_k
@@ -198,7 +258,7 @@ def _backward(us, A, B, cx, cxx, lu, luu, reg, sp: SolverParams, hp: SolverHyper
         )
         mf = free.astype(dtype)
         Quu_f = Quu * (mf[:, None] * mf[None, :]) + jnp.diag(1.0 - mf)
-        K = -jnp.linalg.solve(Quu_f, Qux * mf[:, None])  # clamped rows -> 0
+        K = -solve4_mat(Quu_f, Qux * mf[:, None])  # clamped rows -> 0
 
         Vx_new = Qx + K.T @ (Quu @ k_ff + Qu) + Qux.T @ k_ff
         Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
@@ -212,21 +272,23 @@ def _backward(us, A, B, cx, cxx, lu, luu, reg, sp: SolverParams, hp: SolverHyper
         return (Vx_new, Vxx_new), (k_ff, K, dV1, dV2, jnp.max(jnp.abs(pg)))
 
     init = (jnp.zeros(nx, dtype=dtype), jnp.zeros((nx, nx), dtype=dtype))
-    inputs = (A, B, cx, cxx, lu, luu, us)
+    inputs = (Ad, Bd, cx, cxx, lu, us) if per_stage_AB else (cx, cxx, lu, us)
     rev = jax.tree.map(lambda a: jnp.flip(a, axis=0), inputs)
     (_, _), outs = jax.lax.scan(stage, init, rev)
     k_ff, K, dV1, dV2, pg = jax.tree.map(lambda a: jnp.flip(a, axis=0), outs)
     return k_ff, K, jnp.sum(dV1), jnp.sum(dV2), jnp.max(pg)
 
 
-def _closed_loop_rollout(x0, us, xs_ref, k_ff, K, alpha, sp: SolverParams):
-    """Forward pass with feedback: u = clip(u_k + a*k + K(x - x_k))."""
+def _closed_loop_rollout(x0, us, xs_ref, k_ff, K, alpha, sp: SolverParams, dyn_step):
+    """Forward pass with feedback: u = clip(u_k + a*k + K(x - x_k)).
+    ``dyn_step(x, u)`` is the affine LTI transition (or rk4 in the generic
+    drag path)."""
 
     def step(x, inp):
         u_k, x_k, k_k, K_k = inp
         u = u_k + alpha * k_k + K_k @ (x - x_k)
         u = jnp.clip(u, sp.u_lower, sp.u_upper)
-        x_next = rk4_step(x, u, sp.dt, sp.dyn)
+        x_next = dyn_step(x, u)
         return x_next, (x_next, u)
 
     _, (xs_new, us_new) = jax.lax.scan(step, x0, (us, xs_ref[:-1], k_ff, K))
@@ -246,20 +308,63 @@ def solve(
 ) -> SolveResult:
     """Solve one MPC instance. vmap over a leading scenario axis to batch
     (see :func:`solve_batched`)."""
+    # TPU f32 matmuls default to bf16 MXU passes; positions are O(10 m) and
+    # the solver needs mm/1e-4-level stationarity, so every dot in the solve
+    # must run at full f32 (the 10-dim matmuls are cheap either way).
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(problem, us_init, sp, hp)
+
+
+def _solve_impl(
+    problem: MPCProblem,
+    us_init: jax.Array,
+    sp: SolverParams,
+    hp: SolverHyper,
+) -> SolveResult:
     dtype = us_init.dtype
     us0 = jnp.clip(us_init, sp.u_lower, sp.u_upper)
-    xs0 = rollout(problem.x0, us0, sp.dt, sp.dyn)
+
+    if sp.dyn.use_drag:
+        # generic path: nonlinear dynamics, per-stage Jacobians each iteration
+        dyn_step = lambda x, u: rk4_step(x, u, sp.dt, sp.dyn)
+
+        def stage_jacobians(xs, us):
+            A = jax.vmap(jax.jacfwd(dyn_step, argnums=0))(xs[:-1], us)
+            B = jax.vmap(jax.jacfwd(dyn_step, argnums=1))(xs[:-1], us)
+            return A, B
+
+    else:
+        # LTI fast path: one affine transition shared by every stage,
+        # iteration, and line-search candidate
+        Ad, Bd, cvec = _affine_dynamics(sp, dtype)
+        dyn_step = lambda x, u: Ad @ x + Bd @ u + cvec
+
+        def stage_jacobians(xs, us):
+            return Ad, Bd
+
+    def full_rollout(x0, us):
+        def step(x, u):
+            x_next = dyn_step(x, u)
+            return x_next, x_next
+
+        _, xs = jax.lax.scan(step, x0, us)
+        return jnp.concatenate([x0[None], xs], axis=0)
+
+    xs0 = full_rollout(problem.x0, us0)
     cost0 = _total_cost(problem, xs0, us0, sp.cost)
     alphas = jnp.asarray(2.0 ** -jnp.arange(hp.n_alphas), dtype=dtype)
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype=dtype)
 
     def iteration(carry, _):
         us, xs, cost, reg, grad_norm = carry
-        A, B, cx, cxx, lu, luu = _linearize(problem, xs, us, sp)
+        A, B = stage_jacobians(xs, us)
+        cx, cxx, lu, luu = _linearize(problem, xs, us, sp)
         k_ff, K, dV1, dV2, pg = _backward(us, A, B, cx, cxx, lu, luu, reg, sp, hp)
 
         def try_alpha(alpha):
-            xs_a, us_a = _closed_loop_rollout(problem.x0, us, xs, k_ff, K, alpha, sp)
+            xs_a, us_a = _closed_loop_rollout(
+                problem.x0, us, xs, k_ff, K, alpha, sp, dyn_step
+            )
             return _total_cost(problem, xs_a, us_a, sp.cost), xs_a, us_a
 
         costs_a, xs_a, us_a = jax.vmap(try_alpha)(alphas)

@@ -1,0 +1,79 @@
+"""Native host runtime tests (C++ via ctypes)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from avoid_mpc_tpu.runtime import FrameRing, HostKDTree, Scheduler, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native runtime not built"
+)
+
+
+def test_frame_ring_fifo():
+    ring = FrameRing(slot_bytes=12, capacity=4)
+    for i in range(3):
+        ring.push(np.full(3, i, dtype=np.float32), stamp=float(i))
+    assert len(ring) == 3
+    data, stamp = ring.pop()
+    np.testing.assert_allclose(data.view(np.float32), 0.0)
+    assert stamp == 0.0
+    assert len(ring) == 2
+
+
+def test_frame_ring_overflow_drops_oldest():
+    ring = FrameRing(slot_bytes=4, capacity=2)
+    for i in range(5):
+        ring.push(np.asarray([i], dtype=np.float32), stamp=float(i))
+    assert ring.dropped == 3
+    data, stamp = ring.pop()
+    assert stamp == 3.0  # oldest surviving frame
+
+
+def test_frame_ring_pop_latest():
+    ring = FrameRing(slot_bytes=4, capacity=8)
+    for i in range(5):
+        ring.push(np.asarray([i], dtype=np.float32), stamp=float(i))
+    data, stamp = ring.pop_latest()
+    assert stamp == 4.0
+    assert len(ring) == 0
+
+
+def test_kdtree_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((5000, 3)).astype(np.float32)
+    tree = HostKDTree(pts)
+    q = rng.standard_normal((64, 3)).astype(np.float32)
+    d, idx = tree.query(q, k=5)
+    d2 = ((q[:, None, :] - pts[None]) ** 2).sum(-1)
+    want_idx = np.argsort(d2, axis=1)[:, :5]
+    want_d = np.sqrt(np.take_along_axis(d2, want_idx, axis=1))
+    np.testing.assert_allclose(d, want_d, rtol=1e-4, atol=1e-5)
+    # indices can differ on exact ties; distances are the contract
+    assert (np.abs(np.sort(d, axis=1) - d) < 1e-6).all()
+
+
+def test_kdtree_fewer_points_than_k():
+    tree = HostKDTree(np.asarray([[1.0, 2, 3]], dtype=np.float32))
+    d, idx = tree.query(np.zeros((1, 3), dtype=np.float32), k=3)
+    assert np.isfinite(d[0, 0]) and np.isinf(d[0, 1:]).all()
+    assert idx[0, 0] == 0 and (idx[0, 1:] == -1).all()
+
+
+def test_scheduler_runs_and_measures():
+    counter = {"n": 0}
+
+    def tick():
+        counter["n"] += 1
+        time.sleep(0.002)
+
+    s = Scheduler()
+    t = s.add_task(tick, period_s=0.01)
+    s.start()
+    time.sleep(0.25)
+    s.stop()
+    assert s.ticks(t) >= 15, s.ticks(t)
+    assert 0.001 < s.latency(t) < 0.05
+    assert counter["n"] == s.ticks(t)

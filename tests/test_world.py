@@ -1,0 +1,104 @@
+"""Full-stack closed-loop tests: render -> map -> engine -> bfctrl -> 6-DoF."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avoid_mpc_tpu.config import EngineConfig, MPCConfig, TaskConfig
+from avoid_mpc_tpu.sim import (
+    MISSION_TASK,
+    ObstacleField,
+    ScenarioConfig,
+    build_world,
+    random_forest,
+    rollout_world,
+    world_init,
+)
+
+DTYPE = jnp.float64
+
+CFG = EngineConfig(
+    mpc=dataclasses.replace(
+        MPCConfig(),
+        mpc_T=0.5,  # N=15 keeps CPU test time in budget
+        sqp_iters=5,
+        sqp_iters_fast=3,
+        mpc_max_iter=2,
+        speed=4.0,
+    ),
+    task=TaskConfig(height=1.5),
+)
+
+
+@pytest.fixture(scope="module")
+def world():
+    params, hyper = build_world(
+        CFG, render_scale=8, grid_scale=4, map_frames=4, dtype=DTYPE
+    )
+    return params, hyper
+
+
+def run(world, field, ticks, start=(0.0, 0.0)):
+    params, hyper = world
+    ws = world_init(
+        CFG, params, hyper, jnp.asarray(start, dtype=DTYPE), jax.random.PRNGKey(0),
+        dtype=DTYPE,
+    )
+    fn = jax.jit(lambda ws: rollout_world(ws, field, params, hyper, ticks))
+    return fn(ws)
+
+
+def test_empty_world_takeoff_and_cruise(world):
+    field = ObstacleField.empty(dtype=DTYPE)
+    ws, diag = run(world, field, 180)
+    p = np.asarray(diag.p)
+    assert np.all(np.isfinite(p))
+    # mission reached TASK and the drone took off to ~height
+    assert int(diag.mission[-1]) == MISSION_TASK
+    assert abs(p[-1, 2] - CFG.task.height) < 0.5
+    # forward progress at cruise
+    assert p[-1, 0] > 3.0, p[-1, 0]
+    assert float(np.asarray(diag.v)[:, 0].max()) > 2.0
+
+
+def test_forest_flight_no_collision(world):
+    """Fly through a random forest with rendered-depth perception; ground
+    truth clearance must stay positive (no collision)."""
+    scfg = ScenarioConfig(
+        n_cylinders=16, x_range=(4.0, 25.0), y_range=(-5.0, 5.0),
+        radius_range=(0.2, 0.4),
+    )
+    field = random_forest(jax.random.PRNGKey(3), scfg, dtype=DTYPE)
+    ws, diag = run(world, field, 220)
+    p = np.asarray(diag.p)
+    clear = np.asarray(diag.clearance)
+    assert np.all(np.isfinite(p))
+    # airborne clearance stays positive: no collision with any tree
+    airborne = p[:, 2] > 0.3
+    assert clear[airborne].min() > 0.0, clear[airborne].min()
+    # and the drone made real forward progress into the forest
+    assert p[-1, 0] > 4.0, p[-1, 0]
+    # perception actually populated the map
+    assert int(ws.map.count) >= 1
+
+
+def test_batched_worlds_vmap(world):
+    params, hyper = world
+    B = 2
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    fields = jax.vmap(
+        lambda k: random_forest(k, ScenarioConfig(n_cylinders=8), dtype=DTYPE)
+    )(keys)
+    starts = jnp.asarray([[0.0, 0.0], [0.2, -0.1]], dtype=DTYPE)
+    ws0 = jax.vmap(
+        lambda s, k: world_init(CFG, params, hyper, s, k, dtype=DTYPE)
+    )(starts, keys)
+    fn = jax.jit(
+        jax.vmap(lambda ws, f: rollout_world(ws, f, params, hyper, 10))
+    )
+    ws, diag = fn(ws0, fields)
+    assert diag.p.shape == (B, 10, 3)
+    assert bool(jnp.all(jnp.isfinite(diag.p)))
