@@ -128,7 +128,7 @@ class MPCConfig:
     reg_init: float = 1e-6
     reg_min: float = 1e-9
     reg_max: float = 1e6
-    boxqp_iters: int = 8
+    boxqp_iters: int = 4
 
     @property
     def horizon_steps(self) -> int:

@@ -46,19 +46,7 @@ def _pairwise_sq_dists(queries: jax.Array, points: jax.Array) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
-def knn(
-    queries: jax.Array,
-    points: jax.Array,
-    mask: jax.Array,
-    k: int,
-):
-    """Top-k nearest points for each query (single tile, P small enough to
-    materialize the (Q,P) distance matrix).
-
-    Returns ``(dists, pts)``: (Q,k) ascending distances (inf where fewer than
-    k valid points) and (Q,k,3) their coordinates (FAR_SENTINEL where
-    invalid).
-    """
+def _knn_xla(queries, points, mask, k: int):
     d2 = _pairwise_sq_dists(queries, points)
     d2 = jnp.where(mask[None, :], d2, _INF)
     neg, idx = jax.lax.top_k(-d2, k)  # (Q,k)
@@ -67,6 +55,49 @@ def knn(
     valid = jnp.isfinite(dists2)
     pts = jnp.where(valid[..., None], pts, FAR_SENTINEL)
     return jnp.sqrt(dists2), pts
+
+
+def knn(
+    queries: jax.Array,
+    points: jax.Array,
+    mask: jax.Array,
+    k: int,
+):
+    """Top-k nearest points for each query.
+
+    Returns ``(dists, pts)``: (Q,k) ascending distances (inf where fewer than
+    k valid points) and (Q,k,3) their coordinates (FAR_SENTINEL where
+    invalid).
+
+    When this call is vmapped over scenarios on a TPU backend in f32, the
+    fused Pallas kernel (ops/pallas_knn.py) takes over transparently via
+    custom_vmap; the XLA top_k path is the reference semantics and serves
+    CPU/f64 and unbatched calls.
+    """
+    use_pallas = (
+        queries.dtype == jnp.float32 and jax.devices()[0].platform == "tpu"
+    )
+    if not use_pallas:
+        return _knn_xla(queries, points, mask, k)
+
+    from avoid_mpc_tpu.ops.pallas_knn import knn_pallas_batched
+
+    @jax.custom_batching.custom_vmap
+    def _knn(queries, points, mask):
+        return _knn_xla(queries, points, mask, k)
+
+    @_knn.def_vmap
+    def _knn_vmap(axis_size, in_batched, queries, points, mask):
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        queries, points, mask = (
+            bcast(a, f) for a, f in zip((queries, points, mask), in_batched)
+        )
+        out = knn_pallas_batched(queries, points, mask, k=k)
+        return out, (True, True)
+
+    return _knn(queries, points, mask)
 
 
 def knn_chunked(

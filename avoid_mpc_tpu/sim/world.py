@@ -93,6 +93,10 @@ class WorldHyper(NamedTuple):
     render_w: int
     pcfg: PerceptionConfig  # static python config for the renderer
     use_depth_noise: bool = True
+    # feed the engine an IMU-derived state estimate (COG-filtered accel,
+    # gravity-subtracted — the use_odom_est path of the reference,
+    # AvoidanceStateMachine.cpp:136-153) instead of plant ground truth
+    use_imu_estimation: bool = False
 
 
 def build_world(
@@ -160,6 +164,9 @@ class WorldState(NamedTuple):
     mission: jax.Array  # int32
     t: jax.Array
     key: jax.Array
+    # IMU-estimation path state (active when hyper.use_imu_estimation)
+    cog: "COGFilterState"
+    imu_bias: jax.Array  # (6,)
 
 
 class WorldDiag(NamedTuple):
@@ -178,6 +185,8 @@ def world_init(
     cfg: EngineConfig, params: WorldParams, hyper: WorldHyper,
     start_xy: jax.Array, key: jax.Array, dtype=jnp.float32,
 ) -> WorldState:
+    from avoid_mpc_tpu.utils.filters import cog_filter_init
+
     p0 = jnp.concatenate([start_xy, jnp.zeros(1, dtype=dtype)])
     return WorldState(
         plant=sixdof_init(p0, dtype=dtype),
@@ -187,6 +196,8 @@ def world_init(
         mission=jnp.asarray(MISSION_INIT, jnp.int32),
         t=jnp.asarray(0.0, dtype=dtype),
         key=key,
+        cog=cog_filter_init(window=10, dim=3, dtype=dtype),
+        imu_bias=jnp.zeros(6, dtype=dtype),
     )
 
 
@@ -204,12 +215,40 @@ def field_clearance(p: jax.Array, field: ObstacleField) -> jax.Array:
 def world_step(
     ws: WorldState, field: ObstacleField, params: WorldParams, hyper: WorldHyper
 ) -> tuple[WorldState, WorldDiag]:
+    ws, diag, _depth, _Twb, _x_pred = world_step_full(ws, field, params, hyper)
+    return ws, diag
+
+
+def world_step_full(
+    ws: WorldState, field: ObstacleField, params: WorldParams, hyper: WorldHyper
+):
+    """world_step that also returns the sensor products of the tick
+    (depth frame, body pose, latency-compensated state) — the capture surface
+    for flight logging/replay (the rosbag topics in the reference)."""
     dtype = ws.t.dtype
-    key, k_noise = jax.random.split(ws.key)
+    key, k_noise, k_imu = jax.random.split(ws.key, 3)
     t = ws.t + params.con_dt
 
     # --- 1+2: perception into the rolling map ---
     x_true = sixdof_to_mpc_state(ws.plant)
+    cog, imu_bias = ws.cog, ws.imu_bias
+    if hyper.use_imu_estimation:
+        # IMU-derived acceleration estimate: body specific force -> COG
+        # filter -> rotate to world -> gravity-subtract (the reference
+        # IMUCallback path, AvoidanceStateMachine.cpp:136-153)
+        from avoid_mpc_tpu.sim.sensors import ImuParams, imu_measure
+        from avoid_mpc_tpu.utils.filters import cog_filter_update
+        from avoid_mpc_tpu.utils.quaternion import quat_rotate
+
+        accel_b, _gyro, imu_bias = imu_measure(
+            ws.plant.q, ws.plant.a_lin, ws.plant.w, ws.imu_bias,
+            params.con_dt, ImuParams.default(dtype=dtype), k_imu,
+        )
+        cog, acc_filt_b = cog_filter_update(ws.cog, accel_b)
+        acc_est = quat_rotate(ws.plant.q, acc_filt_b) - jnp.asarray(
+            [0.0, 0.0, 9.81], dtype=dtype
+        )
+        x_true = x_true.at[7:10].set(acc_est)
     from avoid_mpc_tpu.utils.quaternion import quat_to_rotmat
 
     Twb = jnp.eye(4, dtype=dtype).at[:3, :3].set(quat_to_rotmat(ws.plant.q)).at[:3, 3].set(ws.plant.p)
@@ -281,9 +320,12 @@ def world_step(
     return (
         WorldState(
             plant=plant_new, ctrl=ctrl_new, engine=engine_state, map=m,
-            mission=mission, t=t, key=key,
+            mission=mission, t=t, key=key, cog=cog, imu_bias=imu_bias,
         ),
         diag,
+        depth,
+        Twb,
+        x_pred,
     )
 
 

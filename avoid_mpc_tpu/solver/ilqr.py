@@ -82,11 +82,14 @@ class SolverHyper(NamedTuple):
 
     iters: int = 10  # IPOPT max_iter analogue
     n_alphas: int = 8  # parallel line-search candidates 2^0 .. 2^-(n-1)
-    boxqp_iters: int = 8
+    boxqp_iters: int = 4
     reg_init: float = 1e-6
     reg_min: float = 1e-9
     reg_max: float = 1e6
     grad_tol: float = 1e-4  # reported-convergence threshold (IPOPT tol analogue)
+    # Use the fused Pallas Riccati sweep when vmapped on TPU f32 (the XLA
+    # scan path otherwise; results agree to fp tolerance).
+    use_pallas: bool = True
 
     @staticmethod
     def from_config(cfg: MPCConfig, fast: bool = False) -> "SolverHyper":
@@ -279,6 +282,51 @@ def _backward(us, Ad, Bd, cx, cxx, lu, luu, reg, sp: SolverParams, hp: SolverHyp
     return k_ff, K, jnp.sum(dV1), jnp.sum(dV2), jnp.max(pg)
 
 
+def _backward_dispatch(us, Ad, Bd, cx, cxx, lu, luu, reg, sp: SolverParams, hp: SolverHyper):
+    """Route the backward sweep: the fused Pallas kernel when this solve is
+    vmapped on a TPU backend in f32 with LTI dynamics; the XLA scan
+    otherwise.  custom_vmap makes the batching transparent — the per-scenario
+    ``solve`` stays the single source of truth for semantics."""
+    use_pallas = (
+        hp.use_pallas
+        and not sp.dyn.use_drag
+        and us.dtype == jnp.float32
+        and jax.devices()[0].platform == "tpu"
+    )
+    if not use_pallas:
+        return _backward(us, Ad, Bd, cx, cxx, lu, luu, reg, sp, hp)
+
+    from avoid_mpc_tpu.solver.pallas_backward import riccati_backward_batched
+
+    # All traced values must be explicit arguments: custom_vmap stages its
+    # function to a jaxpr, and closed-over tracers become constants its
+    # lowering cannot handle.
+    @jax.custom_batching.custom_vmap
+    def bw(us, cx, cxx, lu, reg, Ad_, Bd_, luu_, lo, hi):
+        return _backward(us, Ad_, Bd_, cx, cxx, lu, luu_, reg, sp, hp)
+
+    @bw.def_vmap
+    def _bw_vmap(axis_size, in_batched, us, cx, cxx, lu, reg, Ad_, Bd_, luu_, lo, hi):
+        # per-scenario args the vmap fixpoint left unbatched (e.g. the reg
+        # carry on its first scan trace) get broadcast to the batch; the
+        # shared constants (Ad/Bd/luu/bounds) stay unbatched.
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        us, cx, cxx, lu, reg = (
+            bcast(a, f)
+            for a, f in zip((us, cx, cxx, lu, reg), in_batched[:5])
+        )
+        assert not any(in_batched[5:]), "constants unexpectedly batched"
+        out = riccati_backward_batched(
+            Ad_, Bd_, luu_, lo, hi, cx, cxx, lu, us, reg,
+            bq_iters=hp.boxqp_iters,
+        )
+        return out, tuple(True for _ in out)
+
+    return bw(us, cx, cxx, lu, reg, Ad, Bd, luu, sp.u_lower, sp.u_upper)
+
+
 def _closed_loop_rollout(x0, us, xs_ref, k_ff, K, alpha, sp: SolverParams, dyn_step):
     """Forward pass with feedback: u = clip(u_k + a*k + K(x - x_k)).
     ``dyn_step(x, u)`` is the affine LTI transition (or rk4 in the generic
@@ -359,7 +407,9 @@ def _solve_impl(
         us, xs, cost, reg, grad_norm = carry
         A, B = stage_jacobians(xs, us)
         cx, cxx, lu, luu = _linearize(problem, xs, us, sp)
-        k_ff, K, dV1, dV2, pg = _backward(us, A, B, cx, cxx, lu, luu, reg, sp, hp)
+        k_ff, K, dV1, dV2, pg = _backward_dispatch(
+            us, A, B, cx, cxx, lu, luu, reg, sp, hp
+        )
 
         def try_alpha(alpha):
             xs_a, us_a = _closed_loop_rollout(

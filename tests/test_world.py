@@ -102,3 +102,19 @@ def test_batched_worlds_vmap(world):
     ws, diag = fn(ws0, fields)
     assert diag.p.shape == (B, 10, 3)
     assert bool(jnp.all(jnp.isfinite(diag.p)))
+
+
+def test_imu_estimation_path(world):
+    """With IMU-derived accel estimation (use_odom_est parity) the closed
+    loop still flies and holds altitude."""
+    params, hyper = world
+    hyper_imu = hyper._replace(use_imu_estimation=True)
+    field = ObstacleField.empty(dtype=DTYPE)
+    ws = world_init(CFG, params, hyper_imu, jnp.zeros(2, dtype=DTYPE),
+                    jax.random.PRNGKey(2), dtype=DTYPE)
+    fn = jax.jit(lambda ws: rollout_world(ws, field, params, hyper_imu, 150))
+    ws, diag = fn(ws)
+    p = np.asarray(diag.p)
+    assert np.isfinite(p).all()
+    assert p[-1, 0] > 2.0
+    assert abs(p[-1, 2] - CFG.task.height) < 0.5
