@@ -261,3 +261,17 @@ def map_nearest_distance(m: RollingMap, point: jax.Array) -> jax.Array:
     """1-NN distance over the obstacle clouds (reference
     ``GetNearestDistance``, FrameKDMap.cpp:400-427)."""
     return nearest_distance(point, _query_points(m, False), _query_mask(m, False))
+
+
+def map_point_cloud(m: RollingMap):
+    """Dump the queryable cloud with per-frame ids for visualization — the
+    ``GetPtCloud`` colorized rviz dump (FrameKDMap.cpp:490-515).
+
+    Returns (points ((F+1)*P, 3), frame_id ((F+1)*P,) int32 with 0 = current
+    frame, mask ((F+1)*P,)). Feed to utils.viz or export."""
+    pts = _query_points(m, edge=False)
+    mask = _query_mask(m, edge=False)
+    f = m.kf_valid.shape[0]
+    p = m.cur_points.shape[0]
+    frame_id = jnp.repeat(jnp.arange(f + 1, dtype=jnp.int32), p)
+    return pts, frame_id, mask

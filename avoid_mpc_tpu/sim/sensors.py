@@ -182,3 +182,64 @@ def imu_measure(
     accel = f_body + bias[:3] + params.accel_noise * noise[:3]
     gyro = w_body + bias[3:] + params.gyro_noise * noise[3:]
     return accel, gyro, bias
+
+
+class BarometerParams(NamedTuple):
+    """Pressure-altitude model (AirLib BarometerSimple reduced)."""
+
+    noise_sigma: jax.Array  # altitude-equivalent noise [m]
+    bias_walk: jax.Array
+
+    @staticmethod
+    def default(dtype=jnp.float32) -> "BarometerParams":
+        return BarometerParams(
+            noise_sigma=jnp.asarray(0.1, dtype=dtype),
+            bias_walk=jnp.asarray(0.005, dtype=dtype),
+        )
+
+
+def barometer_measure(z: jax.Array, bias: jax.Array, dt, p: BarometerParams, key):
+    """Altitude measurement + new bias (random-walk drift)."""
+    k1, k2 = jax.random.split(key)
+    bias = bias + p.bias_walk * jnp.sqrt(dt) * jax.random.normal(k1, (), z.dtype)
+    alt = z + bias + p.noise_sigma * jax.random.normal(k2, (), z.dtype)
+    return alt, bias
+
+
+class GpsParams(NamedTuple):
+    """Horizontal/vertical position fix model (AirLib GpsSimple reduced)."""
+
+    eph: jax.Array  # horizontal 1-sigma [m]
+    epv: jax.Array  # vertical 1-sigma [m]
+
+    @staticmethod
+    def default(dtype=jnp.float32) -> "GpsParams":
+        return GpsParams(
+            eph=jnp.asarray(0.3, dtype=dtype), epv=jnp.asarray(0.5, dtype=dtype)
+        )
+
+
+def gps_measure(p_world: jax.Array, params: GpsParams, key):
+    n = jax.random.normal(key, (3,), p_world.dtype)
+    sig = jnp.stack([params.eph, params.eph, params.epv])
+    return p_world + sig * n
+
+
+def magnetometer_measure(q: jax.Array, declination: jax.Array, noise: jax.Array, key):
+    """Body-frame measurement of the horizontal north field (unit vector)."""
+    from avoid_mpc_tpu.utils.quaternion import quat_to_rotmat
+
+    north = jnp.stack(
+        [jnp.cos(declination), jnp.sin(declination), jnp.zeros_like(declination)]
+    )
+    body = quat_to_rotmat(q).T @ north
+    return body + noise * jax.random.normal(key, (3,), body.dtype)
+
+
+def distance_sensor_measure(
+    Twc: jax.Array, field: "ObstacleField", pcfg, max_range=40.0, key=None
+):
+    """Single-ray forward rangefinder (AirLib DistanceSimple): planar depth of
+    the central camera ray."""
+    d = render_depth(Twc, field, pcfg, height=8, width=8, key=key)
+    return jnp.minimum(d[4, 4], max_range)

@@ -270,6 +270,12 @@ def world_step_full(
     mission = jnp.where((mission == MISSION_WAIT) & bf_waiting, MISSION_TAKEOFF, mission)
     reached = ws.plant.p[2] >= 0.6 * params.height
     mission = jnp.where((mission == MISSION_TAKEOFF) & reached, MISSION_TASK, mission)
+    # goal reached (forward task cap, TaskParam farestPoint) -> LAND.
+    # (The reference declares the LAND state but never transitions into it in
+    # the shipped code — AvoidanceStateMachine.cpp:356-362 is reachable only
+    # externally; completing the mission this way is our extension.)
+    at_goal = ws.plant.p[0] >= params.engine.farthest_x - 0.5
+    mission = jnp.where((mission == MISSION_TASK) & at_goal, MISSION_LAND, mission)
 
     # latency-compensated state prediction (GetCurStateQuad with decay)
     d = params.decay
@@ -300,7 +306,8 @@ def world_step_full(
     # --- 5: bfctrl ---
     ctrl_new, u, des, status = bfctrl_step(
         ws.ctrl, t, ws.plant.p, ws.plant.v, ws.plant.q, cmd,
-        jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dtype=dtype),
+        jnp.where(mission == MISSION_LAND, 2, 0).astype(jnp.int32),  # LAND_CMD
+        jnp.asarray(0.0, dtype=dtype),
         jnp.asarray(jnp.inf, dtype=dtype), jnp.zeros(2, dtype=dtype),
         params.bfctrl,
     )

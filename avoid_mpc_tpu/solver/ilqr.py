@@ -317,7 +317,12 @@ def _backward_dispatch(us, Ad, Bd, cx, cxx, lu, luu, reg, sp: SolverParams, hp: 
             bcast(a, f)
             for a, f in zip((us, cx, cxx, lu, reg), in_batched[:5])
         )
-        assert not any(in_batched[5:]), "constants unexpectedly batched"
+        # shared constants identical across the batch; de-batch if the vmap
+        # fixpoint batched one anyway
+        Ad_, Bd_, luu_, lo, hi = (
+            (a[0] if f else a)
+            for a, f in zip((Ad_, Bd_, luu_, lo, hi), in_batched[5:])
+        )
         out = riccati_backward_batched(
             Ad_, Bd_, luu_, lo, hi, cx, cxx, lu, us, reg,
             bq_iters=hp.boxqp_iters,
@@ -403,19 +408,12 @@ def _solve_impl(
     alphas = jnp.asarray(2.0 ** -jnp.arange(hp.n_alphas), dtype=dtype)
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype=dtype)
 
-    def iteration(carry, _):
-        us, xs, cost, reg, grad_norm = carry
-        A, B = stage_jacobians(xs, us)
-        cx, cxx, lu, luu = _linearize(problem, xs, us, sp)
-        k_ff, K, dV1, dV2, pg = _backward_dispatch(
-            us, A, B, cx, cxx, lu, luu, reg, sp, hp
-        )
-
+    def line_search_xla_for(prob, us, xs, k_ff, K, dV1, dV2, cost):
         def try_alpha(alpha):
             xs_a, us_a = _closed_loop_rollout(
-                problem.x0, us, xs, k_ff, K, alpha, sp, dyn_step
+                prob.x0, us, xs, k_ff, K, alpha, sp, dyn_step
             )
-            return _total_cost(problem, xs_a, us_a, sp.cost), xs_a, us_a
+            return _total_cost(prob, xs_a, us_a, sp.cost), xs_a, us_a
 
         costs_a, xs_a, us_a = jax.vmap(try_alpha)(alphas)
         costs_a = jnp.where(jnp.isfinite(costs_a), costs_a, big)
@@ -426,10 +424,77 @@ def _solve_impl(
         ok = improve > 1e-4 * jnp.maximum(-expected, 0.0)
         any_ok = jnp.any(ok)
         best = jnp.argmin(jnp.where(ok, costs_a, big))
-
         us_new = jnp.where(any_ok, us_a[best], us)
         xs_new = jnp.where(any_ok, xs_a[best], xs)
         cost_new = jnp.where(any_ok, costs_a[best], cost)
+        return us_new, xs_new, cost_new, any_ok
+
+    use_pallas_fwd = (
+        hp.use_pallas
+        and not sp.dyn.use_drag
+        and dtype == jnp.float32
+        and jax.devices()[0].platform == "tpu"
+    )
+
+    def line_search(us, xs, k_ff, K, dV1, dV2, cost):
+        if not use_pallas_fwd:
+            return line_search_xla_for(problem, us, xs, k_ff, K, dV1, dV2, cost)
+
+        from avoid_mpc_tpu.solver.pallas_forward import line_search_batched
+
+        cp = sp.cost
+
+        # NOTE: custom_vmap requires every value the staged function closes
+        # over to be UNBATCHED under vmap — so the fallback must take the
+        # (batched) problem data through its arguments, never from closure.
+        @jax.custom_batching.custom_vmap
+        def ls(us, xs, k_ff, K, dV1, dV2, cost, x0, ref, obstacles, target,
+               Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad):
+            prob = MPCProblem(x0=x0, ref=ref, obstacles=obstacles, target=target)
+            return line_search_xla_for(prob, us, xs, k_ff, K, dV1, dV2, cost)
+
+        @ls.def_vmap
+        def _ls_vmap(axis_size, in_batched, us, xs, k_ff, K, dV1, dV2, cost,
+                     x0, ref, obstacles, target, Ad_, Bd_, cvec_, lo, hi,
+                     qg, qp, qu, lam, rad):
+            def bcast(x, batched):
+                return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+            def unbatch(x, batched):
+                # shared constants are identical across the batch; if the
+                # vmap fixpoint batched one anyway, take slice 0
+                return x[0] if batched else x
+
+            per = (us, xs, k_ff, K, dV1, dV2, cost, x0, ref, obstacles, target)
+            us_, xs_, kff_, K_, dV1_, dV2_, cost_, x0_, ref_, obs_, tgt_ = (
+                bcast(a, f) for a, f in zip(per, in_batched[: len(per)])
+            )
+            consts = (Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad)
+            Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad = (
+                unbatch(a, f) for a, f in zip(consts, in_batched[len(per):])
+            )
+            out = line_search_batched(
+                Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad,
+                x0_, us_, xs_, kff_, K_, ref_, obs_, tgt_, dV1_, dV2_, cost_,
+                n_alphas=hp.n_alphas,
+            )
+            return out, tuple(True for _ in out)
+
+        return ls(
+            us, xs, k_ff, K, dV1, dV2, cost, problem.x0, problem.ref,
+            problem.obstacles, problem.target, Ad, Bd, cvec,
+            sp.u_lower, sp.u_upper, cp.q_goal, cp.q_path, cp.q_u,
+            cp.collide_lambda, cp.drone_radius,
+        )
+
+    def iteration(carry, _):
+        us, xs, cost, reg, grad_norm = carry
+        A, B = stage_jacobians(xs, us)
+        cx, cxx, lu, luu = _linearize(problem, xs, us, sp)
+        k_ff, K, dV1, dV2, pg = _backward_dispatch(
+            us, A, B, cx, cxx, lu, luu, reg, sp, hp
+        )
+        us_new, xs_new, cost_new, any_ok = line_search(us, xs, k_ff, K, dV1, dV2, cost)
         reg_new = jnp.where(
             any_ok,
             jnp.maximum(reg * 0.2, hp.reg_min),

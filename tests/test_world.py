@@ -118,3 +118,36 @@ def test_imu_estimation_path(world):
     assert np.isfinite(p).all()
     assert p[-1, 0] > 2.0
     assert abs(p[-1, 2] - CFG.task.height) < 0.5
+
+
+def test_mission_lands_at_goal():
+    """Forward task reaching the goal cap -> LAND -> bfctrl descends."""
+    import dataclasses as dc
+
+    cfg = dc.replace(CFG, task=dc.replace(CFG.task, goal_x=6.0))
+    params, hyper = build_world(cfg, render_scale=8, grid_scale=4, map_frames=4, dtype=DTYPE)
+    from avoid_mpc_tpu.sim import world_init as winit, rollout_world as roll
+
+    ws = winit(cfg, params, hyper, jnp.zeros(2, dtype=DTYPE), jax.random.PRNGKey(1), dtype=DTYPE)
+    fn = jax.jit(lambda ws: roll(ws, ObstacleField.empty(dtype=DTYPE), params, hyper, 400))
+    ws, diag = fn(ws)
+    from avoid_mpc_tpu.sim.world import MISSION_LAND
+
+    m = np.asarray(diag.mission)
+    p = np.asarray(diag.p)
+    assert (m == MISSION_LAND).any()
+    # after entering LAND, altitude comes down substantially
+    first_land = int(np.argmax(m == MISSION_LAND))
+    assert p[-1, 2] < p[first_land, 2] - 0.5, (p[first_land, 2], p[-1, 2])
+
+
+def test_map_point_cloud_dump():
+    from avoid_mpc_tpu.mapping import map_add_frame, map_init, MapShape
+    from avoid_mpc_tpu.mapping.rolling_map import map_point_cloud
+
+    m = map_init(MapShape(n_frames=2, points_per_frame=8), dtype=DTYPE)
+    pts = jnp.ones((8, 3), dtype=DTYPE)
+    m = map_add_frame(m, pts, jnp.ones(8, bool), pts, jnp.ones(8, bool), jnp.eye(4, dtype=DTYPE))
+    cloud, frame_id, mask = map_point_cloud(m)
+    assert cloud.shape == (24, 3) and frame_id.shape == (24,)
+    assert bool(mask[:8].all())  # current frame queryable
