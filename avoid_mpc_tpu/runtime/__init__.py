@@ -1,4 +1,5 @@
 from avoid_mpc_tpu.runtime.native import (  # noqa: F401
+    MavlinkCodec,
     FrameRing,
     HostKDTree,
     Scheduler,

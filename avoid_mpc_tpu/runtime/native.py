@@ -202,3 +202,75 @@ class Scheduler:
         if getattr(self, "_ptr", None):
             self._lib.scheduler_destroy(self._ptr)
             self._ptr = None
+
+
+class MavlinkCodec:
+    """MAVLink v2 pack/parse (runtime/mavlink.cpp) — the real-vehicle
+    transport core (the MavLinkCom role in the reference)."""
+
+    SET_ATTITUDE_TARGET = 82
+    _CRC_EXTRA = {82: 49, 0: 50}  # SET_ATTITUDE_TARGET, HEARTBEAT
+
+    def __init__(self):
+        self._lib = _load()
+        lib = self._lib
+        if not hasattr(lib, "_mav_bound"):
+            lib.mavlink2_pack.restype = ctypes.c_int
+            lib.mavlink2_pack.argtypes = [
+                ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.c_char_p,
+            ]
+            lib.mavlink2_pack_set_attitude_target.restype = ctypes.c_int
+            lib.mavlink2_pack_set_attitude_target.argtypes = [
+                ctypes.c_uint32, ctypes.POINTER(ctypes.c_float), ctypes.c_float,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_uint8,
+                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.c_uint8, ctypes.c_char_p,
+            ]
+            lib.mavlink_parser_create.restype = ctypes.c_void_p
+            lib.mavlink_parser_destroy.argtypes = [ctypes.c_void_p]
+            lib.mavlink_parser_feed.restype = ctypes.c_int
+            lib.mavlink_parser_feed.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib._mav_bound = True
+        self._parser = lib.mavlink_parser_create()
+        self._seq = 0
+
+    def pack_set_attitude_target(
+        self, time_boot_ms, q, roll_rate, pitch_rate, yaw_rate, thrust,
+        target_system=1, target_component=1, type_mask=0x07,
+    ) -> bytes:
+        out = ctypes.create_string_buffer(64)
+        qf = (ctypes.c_float * 4)(*[float(v) for v in q])
+        n = self._lib.mavlink2_pack_set_attitude_target(
+            int(time_boot_ms), qf, float(roll_rate), float(pitch_rate),
+            float(yaw_rate), float(thrust), target_system, target_component,
+            type_mask, self._seq & 0xFF, 255, 0, out,
+        )
+        self._seq += 1
+        return out.raw[:n]
+
+    def parse(self, data: bytes, msgid_expected: int = SET_ATTITUDE_TARGET):
+        """Feed bytes; return list of (msgid, payload bytes) frames."""
+        crc_extra = self._CRC_EXTRA[msgid_expected]
+        frames = []
+        msgid = ctypes.c_uint32()
+        plen = ctypes.c_uint8()
+        payload = ctypes.create_string_buffer(256)
+        for b in data:
+            r = self._lib.mavlink_parser_feed(
+                self._parser, b, crc_extra, ctypes.byref(msgid), payload,
+                ctypes.byref(plen),
+            )
+            if r == 1:
+                frames.append((msgid.value, payload.raw[: plen.value]))
+        return frames
+
+    def __del__(self):
+        if getattr(self, "_parser", None):
+            self._lib.mavlink_parser_destroy(self._parser)
+            self._parser = None

@@ -1,0 +1,140 @@
+// Minimal MAVLink v2 framing codec — the protocol core of a real-vehicle
+// bridge (the role MavLinkCom plays in the reference for Betaflight/PX4
+// transport; its FTP/log/param machinery is hardware-ops scope and omitted).
+//
+// Implements: v2 frame pack with trailing-zero payload truncation, the X.25
+// (CRC-16/MCRF4XX) checksum with per-message CRC_EXTRA, an incremental
+// byte-stream parser, and a typed packer for SET_ATTITUDE_TARGET (#82) —
+// the one message the reference pipeline actually flies on
+// (mavros /setpoint_raw/attitude -> attitude+thrust).
+//
+// Written from the MAVLink v2 wire-format specification; no generated code.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr uint8_t kMagicV2 = 0xFD;
+constexpr size_t kHeaderLen = 10;  // magic..msgid[2]
+constexpr size_t kCrcLen = 2;
+
+inline void crc_accumulate(uint8_t b, uint16_t* crc) {
+    uint8_t tmp = b ^ static_cast<uint8_t>(*crc & 0xFF);
+    tmp ^= static_cast<uint8_t>(tmp << 4);
+    *crc = static_cast<uint16_t>((*crc >> 8) ^ (tmp << 8) ^ (tmp << 3) ^ (tmp >> 4));
+}
+
+struct Parser {
+    enum State { kIdle, kGotMagic, kInFrame } state = kIdle;
+    uint8_t buf[300];
+    size_t have = 0;
+    size_t need = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+uint16_t mavlink_crc(const uint8_t* data, size_t len, uint8_t crc_extra) {
+    uint16_t crc = 0xFFFF;
+    for (size_t i = 0; i < len; ++i) crc_accumulate(data[i], &crc);
+    crc_accumulate(crc_extra, &crc);
+    return crc;
+}
+
+// Pack one MAVLink v2 frame. Returns total frame length written to `out`
+// (caller provides >= 12 + payload_len bytes). Trailing zero bytes of the
+// payload are truncated per the v2 spec (at least 1 byte remains).
+int mavlink2_pack(uint32_t msgid, const uint8_t* payload, size_t payload_len,
+                  uint8_t seq, uint8_t sysid, uint8_t compid,
+                  uint8_t crc_extra, uint8_t* out) {
+    size_t plen = payload_len;
+    while (plen > 1 && payload[plen - 1] == 0) --plen;
+    out[0] = kMagicV2;
+    out[1] = static_cast<uint8_t>(plen);
+    out[2] = 0;  // incompat flags
+    out[3] = 0;  // compat flags
+    out[4] = seq;
+    out[5] = sysid;
+    out[6] = compid;
+    out[7] = static_cast<uint8_t>(msgid & 0xFF);
+    out[8] = static_cast<uint8_t>((msgid >> 8) & 0xFF);
+    out[9] = static_cast<uint8_t>((msgid >> 16) & 0xFF);
+    std::memcpy(out + kHeaderLen, payload, plen);
+    uint16_t crc = mavlink_crc(out + 1, kHeaderLen - 1 + plen, crc_extra);
+    out[kHeaderLen + plen] = static_cast<uint8_t>(crc & 0xFF);
+    out[kHeaderLen + plen + 1] = static_cast<uint8_t>(crc >> 8);
+    return static_cast<int>(kHeaderLen + plen + kCrcLen);
+}
+
+void* mavlink_parser_create() { return new Parser(); }
+void mavlink_parser_destroy(void* p) { delete static_cast<Parser*>(p); }
+
+// Feed one byte. Returns 1 when a complete, CRC-valid frame is available
+// (fills msgid/payload/payload_len), 0 otherwise, -1 on CRC failure.
+// `crc_extra` must be the CRC_EXTRA of the (expected) message id; pass the
+// table value for the ids you handle.
+int mavlink_parser_feed(void* pp, uint8_t byte, uint8_t crc_extra,
+                        uint32_t* msgid, uint8_t* payload,
+                        uint8_t* payload_len) {
+    auto* p = static_cast<Parser*>(pp);
+    switch (p->state) {
+        case Parser::kIdle:
+            if (byte == kMagicV2) {
+                p->buf[0] = byte;
+                p->have = 1;
+                p->state = Parser::kGotMagic;
+            }
+            return 0;
+        case Parser::kGotMagic:
+            p->buf[1] = byte;  // payload length
+            p->have = 2;
+            p->need = kHeaderLen + byte + kCrcLen;
+            p->state = Parser::kInFrame;
+            return 0;
+        case Parser::kInFrame:
+            p->buf[p->have++] = byte;
+            if (p->have < p->need) return 0;
+            p->state = Parser::kIdle;
+            {
+                size_t plen = p->buf[1];
+                uint16_t crc = mavlink_crc(p->buf + 1, kHeaderLen - 1 + plen, crc_extra);
+                uint16_t got = static_cast<uint16_t>(
+                    p->buf[kHeaderLen + plen] |
+                    (p->buf[kHeaderLen + plen + 1] << 8));
+                if (crc != got) return -1;
+                *msgid = static_cast<uint32_t>(p->buf[7]) |
+                         (static_cast<uint32_t>(p->buf[8]) << 8) |
+                         (static_cast<uint32_t>(p->buf[9]) << 16);
+                *payload_len = static_cast<uint8_t>(plen);
+                std::memcpy(payload, p->buf + kHeaderLen, plen);
+            }
+            return 1;
+    }
+    return 0;
+}
+
+// SET_ATTITUDE_TARGET (#82), CRC_EXTRA = 49. Field order per spec (sorted by
+// size): time_boot_ms u32, q[4] f32, roll/pitch/yaw rates f32, thrust f32,
+// target_system u8, target_component u8, type_mask u8 -> 39 bytes.
+int mavlink2_pack_set_attitude_target(
+    uint32_t time_boot_ms, const float q[4], float roll_rate, float pitch_rate,
+    float yaw_rate, float thrust, uint8_t target_system,
+    uint8_t target_component, uint8_t type_mask, uint8_t seq, uint8_t sysid,
+    uint8_t compid, uint8_t* out) {
+    uint8_t payload[39];
+    std::memcpy(payload + 0, &time_boot_ms, 4);
+    std::memcpy(payload + 4, q, 16);
+    std::memcpy(payload + 20, &roll_rate, 4);
+    std::memcpy(payload + 24, &pitch_rate, 4);
+    std::memcpy(payload + 28, &yaw_rate, 4);
+    std::memcpy(payload + 32, &thrust, 4);
+    payload[36] = target_system;
+    payload[37] = target_component;
+    payload[38] = type_mask;
+    return mavlink2_pack(82, payload, sizeof(payload), seq, sysid, compid,
+                         /*crc_extra=*/49, out);
+}
+
+}  // extern "C"

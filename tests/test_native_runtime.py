@@ -77,3 +77,52 @@ def test_scheduler_runs_and_measures():
     assert s.ticks(t) >= 15, s.ticks(t)
     assert 0.001 < s.latency(t) < 0.05
     assert counter["n"] == s.ticks(t)
+
+
+def test_mavlink_roundtrip():
+    """Pack SET_ATTITUDE_TARGET, parse it back byte-by-byte, verify fields."""
+    import struct
+
+    from avoid_mpc_tpu.runtime import MavlinkCodec
+
+    codec = MavlinkCodec()
+    q = [0.9238795, 0.0, 0.0, 0.3826834]  # 45 deg yaw
+    frame = codec.pack_set_attitude_target(
+        12345, q, 0.1, -0.2, 0.3, 0.55, type_mask=0x07
+    )
+    assert frame[0] == 0xFD and len(frame) >= 12
+    parser = MavlinkCodec()
+    frames = parser.parse(frame)
+    assert len(frames) == 1
+    msgid, payload = frames[0]
+    assert msgid == MavlinkCodec.SET_ATTITUDE_TARGET
+    # v2 truncates trailing zeros; pad back for unpacking
+    payload = payload + b"\x00" * (39 - len(payload))
+    t, qw, qx, qy, qz, rr, pr, yr, thrust = struct.unpack("<Iffffffff", payload[:36])
+    assert t == 12345
+    np.testing.assert_allclose([qw, qx, qy, qz], q, rtol=1e-6)
+    np.testing.assert_allclose([rr, pr, yr, thrust], [0.1, -0.2, 0.3, 0.55], rtol=1e-6)
+    assert payload[36] == 1 and payload[38] == 0x07
+
+
+def test_mavlink_crc_rejects_corruption():
+    from avoid_mpc_tpu.runtime import MavlinkCodec
+
+    codec = MavlinkCodec()
+    frame = bytearray(codec.pack_set_attitude_target(1, [1, 0, 0, 0], 0, 0, 0, 0.5))
+    frame[12] ^= 0xFF  # corrupt payload
+    parser = MavlinkCodec()
+    assert parser.parse(bytes(frame)) == []
+
+
+def test_mavlink_stream_with_garbage():
+    """Frames embedded in garbage bytes are still recovered."""
+    from avoid_mpc_tpu.runtime import MavlinkCodec
+
+    codec = MavlinkCodec()
+    f1 = codec.pack_set_attitude_target(1, [1, 0, 0, 0], 0, 0, 0, 0.3)
+    f2 = codec.pack_set_attitude_target(2, [1, 0, 0, 0], 0, 0, 0, 0.4)
+    stream = b"\x00\x17" + f1 + b"\xfa\x01" + f2
+    parser = MavlinkCodec()
+    frames = parser.parse(stream)
+    assert len(frames) == 2
