@@ -253,11 +253,15 @@ def receding_step(
 
         target = _build_target(ref_i, pos, p)
         problem = MPCProblem(x0=quad_state, ref=ref_i, obstacles=obstacles_i, target=target)
-        res = jax.lax.cond(
-            it == 0,
-            lambda: solve(problem, us_warm, p.sp, h.solver_fast),
-            lambda: solve(problem, us_warm, p.sp, h.solver),
-        )
+        if h.solver_fast == h.solver:
+            # identical budgets: one solver instance (halves compile size)
+            res = solve(problem, us_warm, p.sp, h.solver)
+        else:
+            res = jax.lax.cond(
+                it == 0,
+                lambda: solve(problem, us_warm, p.sp, h.solver_fast),
+                lambda: solve(problem, us_warm, p.sp, h.solver),
+            )
 
         sel = lambda a, b: jnp.where(run, a, b)
         ref_new = sel(res.xs[:n], ref)  # predicted nodes 0..N-1 (:338-343)

@@ -16,7 +16,7 @@ from avoid_mpc_tpu.solver.ilqr import (
 )
 from avoid_mpc_tpu.solver.pallas_forward import line_search_batched
 
-CFG = MPCConfig(mpc_T=0.33)  # N = 10
+CFG = MPCConfig(mpc_T=0.2)  # N = 6 (interpret mode is slow)
 N = CFG.horizon_steps
 SP = SolverParams.from_config(CFG, dtype=jnp.float32)
 
@@ -94,12 +94,12 @@ def test_fused_line_search_matches_xla():
         cp.collide_lambda, cp.drone_radius,
         problems.x0, us, xs, kff, K, problems.ref, problems.obstacles,
         problems.target, dV1, dV2, cost,
-        n_alphas=8, block_b=8, interpret=True,
+        n_alphas=4, block_b=8, interpret=True,
     )
     for i in range(b):
         u_r, x_r, c_r, ok_r = xla_line_search(
             MPCProblem(problems.x0[i], problems.ref[i], problems.obstacles[i], problems.target[i]),
-            us[i], xs[i], kff[i], K[i], dV1[i], dV2[i], cost[i],
+            us[i], xs[i], kff[i], K[i], dV1[i], dV2[i], cost[i], n_alphas=4,
         )
         assert bool(ok_p[i]) == bool(ok_r), i
         if bool(ok_r):
