@@ -31,11 +31,11 @@ import jax.numpy as jnp
 
 from avoid_mpc_tpu.config import EngineConfig, PerceptionConfig
 from avoid_mpc_tpu.control.bfctrl import (
+    FSM_AUTO_HOVER,
+    FSM_CMD_CTRL,
     BfctrlParams,
     BfctrlState,
     CommandInput,
-    STATUS_CMD,
-    STATUS_WAITINGCMD,
     bfctrl_init,
     bfctrl_step,
 )
@@ -264,7 +264,7 @@ def world_step_full(
     )
 
     # --- 3: mission FSM ---
-    bf_waiting = (ws.ctrl.fsm == 2) | (ws.ctrl.fsm == 3)  # AUTO_HOVER/CMD_CTRL
+    bf_waiting = (ws.ctrl.fsm == FSM_AUTO_HOVER) | (ws.ctrl.fsm == FSM_CMD_CTRL)
     mission = ws.mission
     mission = jnp.where((mission == MISSION_INIT), MISSION_WAIT, mission)
     mission = jnp.where((mission == MISSION_WAIT) & bf_waiting, MISSION_TAKEOFF, mission)
