@@ -47,6 +47,11 @@ class MPCWeights:
     q_path: tuple[float, ...]  # 10: yaw-rotated path-gap quadratic
     q_u: tuple[float, ...]  # 4: control quadratic (about hover [0,0,g,0])
     collide_lambda: float  # scalar soft collision cost multiplier
+    # Omnidirectional (velocity-ungated) barrier weight — round-2 extension
+    # fixing the reference cost's tangential-pass blindness
+    # (tools/mpc_obstacle_casadi.py:186-204 gates the barrier by |v.dir|).
+    # 0.0 = exact reference objective.  Not part of the 25-weight vector.
+    collide_lambda_omni: float = 0.0
 
     def as_vector(self) -> np.ndarray:
         """25-vector in reference ordering (goal, path, u, lambda)."""
@@ -110,6 +115,14 @@ class MPCConfig:
     drone_radius: float = 0.5
     safety_distance: float = 0.2
     speed: float = 10.0
+    # Speed-scaled collision margin (m per m/s of planned speed): effective
+    # radius r + margin_v*||v_ref|| per horizon node.  0.0 = reference.
+    margin_v: float = 0.0
+    # Time-to-collision slow-down trigger (s): force the PD slow-down
+    # fallback when (1-NN distance - r)/closing speed drops below this.
+    # <= 0 disables (reference behavior: trigger on instantaneous distance
+    # only, AvoidanceStateMachine.cpp:345-350).
+    ttc_threshold: float = 0.0
 
     # Latency-compensation lookahead seed (yaml decay: 0.015 s)
     decay: float = 0.015
@@ -259,6 +272,9 @@ def load_config(path: str | None = None) -> EngineConfig:
             for n, g in zip(["a_x", "a_y", "a_z", "yaw_dot"], defaults.weights.q_u)
         ),
         collide_lambda=float(_pick(d, "collide_lambda", default=defaults.weights.collide_lambda)),
+        collide_lambda_omni=float(
+            _pick(d, "collide_lambda_omni", default=defaults.weights.collide_lambda_omni)
+        ),
     )
     mpc = MPCConfig(
         mpc_T=float(_pick(d, "mpc_T", default=defaults.mpc_T)),
@@ -286,6 +302,8 @@ def load_config(path: str | None = None) -> EngineConfig:
         drone_radius=float(_pick(d, "drone_radius", default=defaults.drone_radius)),
         safety_distance=float(_pick(d, "safety_distance", default=defaults.safety_distance)),
         speed=float(_pick(d, "speed", default=defaults.speed)),
+        margin_v=float(_pick(d, "margin_v", default=defaults.margin_v)),
+        ttc_threshold=float(_pick(d, "ttc_threshold", default=defaults.ttc_threshold)),
         decay=float(_pick(d, "decay", default=defaults.decay)),
         slow_down_kp=float(_pick(d, "slow_down_kp", default=defaults.slow_down_kp)),
         slow_down_kd=float(_pick(d, "slow_down_kd", default=defaults.slow_down_kd)),

@@ -77,6 +77,10 @@ class EngineParams(NamedTuple):
     slow_down_kp: jax.Array
     slow_down_kd: jax.Array
     mpc_T: jax.Array
+    # Time-to-collision slow-down trigger (s); <= 0 disables (reference
+    # triggers on instantaneous 1-NN distance only).  Round-2 extension for
+    # the tangential-pass failure mode (PARITY.md "Known quantitative gaps").
+    ttc_threshold: jax.Array = 0.0
 
     @staticmethod
     def from_config(cfg: EngineConfig, dtype=jnp.float32) -> "EngineParams":
@@ -90,6 +94,7 @@ class EngineParams(NamedTuple):
             slow_down_kp=jnp.asarray(m.slow_down_kp, dtype=dtype),
             slow_down_kd=jnp.asarray(m.slow_down_kd, dtype=dtype),
             mpc_T=jnp.asarray(m.mpc_T, dtype=dtype),
+            ttc_threshold=jnp.asarray(m.ttc_threshold, dtype=dtype),
         )
 
 
@@ -291,6 +296,23 @@ def receding_step(
     (ref, us_warm, _, is_safety, need_replan, pred, obstacles, cost), ran = jax.lax.scan(
         outer, init, jnp.arange(h.max_outer_iters)
     )
+
+    # TTC slow-down trigger (round-2 extension, default off): estimated
+    # time-to-collision toward the current 1-NN obstacle below threshold
+    # forces the PD fallback even when a "safe" plan exists — covering the
+    # tangential-pass geometry the |v.dir|-gated barrier is blind to.
+    d1, pt1 = map_query(rolling_map, pos[None, :], k=1, edge=False)
+    vec = pt1[0, 0] - pos
+    dist1 = jnp.maximum(d1[0, 0], 1e-6)
+    closing = jnp.dot(quad_state[4:7], vec / dist1)
+    ttc = (dist1 - p.sp.cost.drone_radius) / jnp.maximum(closing, 1e-3)
+    ttc_trigger = (
+        (p.ttc_threshold > 0.0)
+        & (closing > 0.0)
+        & jnp.isfinite(dist1)
+        & (ttc < p.ttc_threshold)
+    )
+    is_safety = is_safety & ~ttc_trigger
 
     u_mpc = us_warm[0]
     u_slow = _slow_down_cmd(quad_state, p)

@@ -52,7 +52,7 @@ def _make_kernel(n: int, n_obs: int, n_alphas: int):
         qgoal_ref,  # SMEM (1, 10)
         qpath_ref,  # SMEM (1, 10)
         qu_ref,  # SMEM (1, 4)
-        misc_ref,  # SMEM (1, 4): [lambda, radius, gravity, 0]
+        misc_ref,  # SMEM (1, 8): [lambda, radius, gravity, lam_omni, margin_v, 0, 0, 0]
         x0_ref,  # VMEM (10, BT)
         us_ref,  # VMEM (N, 4, BT)
         xsref_ref,  # VMEM (N, 10, BT) — nodes 0..N-1 of the current traj
@@ -72,6 +72,8 @@ def _make_kernel(n: int, n_obs: int, n_alphas: int):
         lam = misc_ref[0, 0]
         radius = misc_ref[0, 1]
         grav = misc_ref[0, 2]
+        lam_omni = misc_ref[0, 3]
+        margin_v = misc_ref[0, 4]
 
         def step_x(x, u):
             """x' = Ad x + Bd u + c, columns-of-A form: 14 (10,BT) FMAs."""
@@ -115,7 +117,10 @@ def _make_kernel(n: int, n_obs: int, n_alphas: int):
             c = jnp.zeros((bt,), dtype)
             for i in range(NX):
                 c = c + qpath_ref[0, i] * rot[i] * rot[i]
-            # collision over n_obs points
+            # collision over n_obs points; per-node effective radius
+            # r_eff = r + margin_v*||v_ref|| (models/costs.node_radius)
+            rv2 = ref_k[4] * ref_k[4] + ref_k[5] * ref_k[5] + ref_k[6] * ref_k[6]
+            r_eff = radius + margin_v * jnp.sqrt(rv2)
             obs_k = obs_ref[k]  # (n_obs, 3, BT)
             for o in range(n_obs):
                 vx = obs_k[o, 0] - x[0]
@@ -125,7 +130,9 @@ def _make_kernel(n: int, n_obs: int, n_alphas: int):
                 dist = jnp.sqrt(d2)
                 v_along = (x[4] * vx + x[5] * vy + x[6] * vz) / dist
                 v_toward = jnp.sqrt(v_along * v_along + _ABS_EPS)
-                c = c + lam * _softplus(-_SHARP * (dist - radius)) * v_toward
+                c = c + (lam * v_toward + lam_omni) * _softplus(
+                    -_SHARP * (dist - r_eff)
+                )
             return c
 
         def rollout(alpha, store: bool):
@@ -188,6 +195,7 @@ def line_search_batched(
     x0, us, xs_ref, kff, K, ref, obstacles, target,
     dV1, dV2, cost_old,
     n_alphas: int = 8, block_b: int = 128, interpret: bool = False,
+    lam_omni=0.0, margin_v=0.0,
 ):
     """Batch-first interface. x0 (B,10), us (B,N,4), xs_ref (B,N+1,10),
     kff (B,N,4), K (B,N,4,10), ref (B,N,10), obstacles (B,N,K,3),
@@ -256,7 +264,12 @@ def line_search_batched(
         Ad.astype(dtype), Bd.astype(dtype), cvec.astype(dtype)[:, None], bounds,
         q_goal.astype(dtype)[None, :], q_path.astype(dtype)[None, :],
         q_u.astype(dtype)[None, :],
-        jnp.stack([lam, radius, jnp.asarray(9.81, dtype), jnp.asarray(0.0, dtype)])[None, :].astype(dtype),
+        jnp.stack([
+            jnp.asarray(lam, dtype), jnp.asarray(radius, dtype),
+            jnp.asarray(9.81, dtype), jnp.asarray(lam_omni, dtype),
+            jnp.asarray(margin_v, dtype), jnp.asarray(0.0, dtype),
+            jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
+        ])[None, :].astype(dtype),
         x0_t, us_t, xsref_t, kff_t, kt_t, ref_t, obs_t, target_t, dv_t,
     )
 

@@ -9,7 +9,20 @@ max_iter=10 parity budget).
 Baseline: the reference runs <=3 warm-started IPOPT solves per 33 ms tick on
 CPU (SURVEY.md §6) => ~90 solves/s; vs_baseline = solves_per_sec / 90.
 
-Prints ONE JSON line.
+Timeout hardening (round-2, VERDICT.md item 1): the axon tunnel makes cold
+compiles take 5-15 min, which killed the round-1 driver bench (rc=124).
+Two defenses:
+  * a persistent compilation cache at ``.jax_cache/`` (pre-warmed during the
+    round with identical shapes/devices, so the driver run loads the
+    serialized executable in seconds), and
+  * staged output — the full-config JSON line is printed after the FIRST
+    timed step, then refined after the remaining steps, so a run killed
+    mid-measurement still leaves a parseable full-batch number.
+
+The full BASELINE.md benchmark matrix (obstacle-free tracking, 1k-cloud
+single scenario, 10k-cloud dual-map forest, 12 m/s replay, scaling curve)
+lives in ``avoid_mpc_tpu/tools/bench_matrix.py``; this file stays the
+driver's one-line headline.
 """
 
 from __future__ import annotations
@@ -24,7 +37,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -40,38 +64,51 @@ def main():
     x0, ref, target, pts, mask = _build_problem_batch(b, n, n_pts, dtype)
     us = jnp.zeros((b, n, 4), dtype=dtype).at[:, :, 2].set(9.81)
 
+    # Wash every input through a jitted identity: arrays not produced by a jit
+    # execution can be re-uploaded (~24 ms) on every use in this environment.
+    wash = jax.jit(lambda *a: a)
+    x0, ref, target, pts, mask, us = jax.block_until_ready(
+        wash(x0, ref, target, pts, mask, us)
+    )
+
     fn = jax.jit(step)
 
-    # compile + warm the carry (2 warm-up steps)
     t0 = time.time()
     us, ref, cost, conv = jax.block_until_ready(fn(x0, ref, target, pts, mask, us))
     compile_s = time.time() - t0
+    # one warm-up step (steadies the warm-start carry + any lazy transfers)
     us, ref, cost, conv = jax.block_until_ready(fn(x0, ref, target, pts, mask, us))
 
+    def result_line(lat):
+        p50 = float(np.median(lat))
+        solves_per_sec = b / p50
+        return {
+            "metric": "mpc_solves_per_sec_per_chip",
+            "value": round(solves_per_sec, 1),
+            "unit": "solves/s",
+            "vs_baseline": round(solves_per_sec / 90.0, 2),
+            "p50_step_ms": round(p50 * 1e3, 2),
+            "batch": b,
+            "horizon": n,
+            "cloud_points": n_pts,
+            "sqp_iters": 10,
+            "timed_steps": len(lat),
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+            "mean_cost": float(jnp.mean(cost)),
+            "converged_frac": float(jnp.mean(conv.astype(jnp.float32))),
+        }
+
     lat = []
-    for _ in range(timed_steps):
+    for i in range(timed_steps):
         t0 = time.time()
         us, ref, cost, conv = jax.block_until_ready(fn(x0, ref, target, pts, mask, us))
         lat.append(time.time() - t0)
+        if i == 0 and timed_steps > 1:
+            # staged full-config line: survives a mid-measurement timeout
+            print(json.dumps(result_line(lat)), flush=True)
 
-    p50 = float(np.median(lat))
-    solves_per_sec = b / p50
-    result = {
-        "metric": "mpc_solves_per_sec_per_chip",
-        "value": round(solves_per_sec, 1),
-        "unit": "solves/s",
-        "vs_baseline": round(solves_per_sec / 90.0, 2),
-        "p50_step_ms": round(p50 * 1e3, 2),
-        "batch": b,
-        "horizon": n,
-        "cloud_points": n_pts,
-        "sqp_iters": 10,
-        "compile_s": round(compile_s, 1),
-        "device": str(jax.devices()[0]),
-        "mean_cost": float(jnp.mean(cost)),
-        "converged_frac": float(jnp.mean(conv.astype(jnp.float32))),
-    }
-    print(json.dumps(result))
+    print(json.dumps(result_line(lat)), flush=True)
 
 
 if __name__ == "__main__":

@@ -131,3 +131,70 @@ def test_gradient_matches_finite_difference():
         zm[i] -= eps
         fd = (float(total(jnp.asarray(zp))) - float(total(jnp.asarray(zm)))) / (2 * eps)
         np.testing.assert_allclose(g[i], fd, rtol=2e-5, atol=1e-7)
+
+
+def test_collision_quadratics_match_ad():
+    """Analytic collision grad/Hessian (the solver's linearize hot path)
+    vs jax AD on the same function, across all barrier-extension knobs."""
+    import jax
+
+    from avoid_mpc_tpu.config import MPCWeights
+    from avoid_mpc_tpu.models.costs import collision_quadratics
+    from avoid_mpc_tpu.solver.ilqr import _collision_pv
+
+    rng = np.random.default_rng(0)
+    for lam_o, marg in [(0.0, 0.0), (0.8, 0.0), (0.0, 0.05), (0.7, 0.04)]:
+        cfg = MPCConfig(
+            margin_v=marg,
+            weights=MPCWeights(
+                q_goal=CFG.weights.q_goal, q_path=CFG.weights.q_path,
+                q_u=CFG.weights.q_u, collide_lambda=1.2,
+                collide_lambda_omni=lam_o,
+            ),
+        )
+        cp = CostParams.from_config(cfg, dtype=jnp.float64)
+        for i in range(20):
+            pv = jnp.asarray(rng.normal(0, 3, 6))
+            obs = jnp.asarray(pv[0:3] + rng.normal(0, 1.0, (3, 3)))
+            if i % 4 == 0:  # include a far-sentinel padding point
+                obs = obs.at[2].set(jnp.asarray([1e4, 1e4, 1e4]))
+            r = jnp.asarray(0.5 + marg * float(jnp.linalg.norm(pv[3:6])))
+            g_ad = jax.grad(_collision_pv)(pv, obs, cp, r)
+            h_ad = jax.hessian(_collision_pv)(pv, obs, cp, r)
+            g_an, h_an = collision_quadratics(pv, obs, r, cp)
+            np.testing.assert_allclose(np.asarray(g_an), np.asarray(g_ad), atol=1e-10)
+            np.testing.assert_allclose(np.asarray(h_an), np.asarray(h_ad), atol=1e-9)
+
+
+def test_barrier_extensions_default_to_reference():
+    """lam_omni = margin_v = 0 reproduces the exact reference objective, and
+    enabling them raises the cost of a tangential pass (the diagnosed
+    collision mode: v perpendicular to the obstacle direction)."""
+    from avoid_mpc_tpu.config import MPCWeights
+    from avoid_mpc_tpu.models.costs import node_radius
+
+    # tangential geometry: obstacle to the +y side, velocity along +x
+    x = jnp.zeros(10).at[4].set(8.0)  # 8 m/s along x
+    obs = jnp.asarray([[0.0, 0.8, 0.0]])  # 0.8 m to the side
+    c_ref = float(collision_cost(x, obs, CP))
+    # velocity gate ~0 -> barrier essentially dead in the reference cost
+    assert c_ref < 1e-3
+
+    cfg = MPCConfig(
+        weights=MPCWeights(
+            q_goal=CFG.weights.q_goal, q_path=CFG.weights.q_path,
+            q_u=CFG.weights.q_u, collide_lambda=1.2, collide_lambda_omni=1.0,
+        ),
+    )
+    cp2 = CostParams.from_config(cfg, dtype=jnp.float64)
+    c_omni = float(collision_cost(x, obs, cp2))
+    assert c_omni > 100.0 * max(c_ref, 1e-12)
+
+    # speed margin: r_eff grows with the reference-path speed
+    cfg3 = MPCConfig(margin_v=0.05)
+    cp3 = CostParams.from_config(cfg3, dtype=jnp.float64)
+    ref_fast = jnp.zeros(10).at[4].set(10.0)
+    r_eff = float(node_radius(ref_fast, cp3))
+    np.testing.assert_allclose(r_eff, 0.5 + 0.05 * 10.0, rtol=1e-12)
+    c_margin = float(collision_cost(x, obs, cp3, radius=jnp.asarray(r_eff)))
+    assert c_margin > c_ref
