@@ -135,8 +135,11 @@ def _sobel(img: jax.Array):
 
 
 def _nms(mag: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
-    """Canny-style non-maximum suppression with 4-bin direction quantization.
-    Keeps pixels whose magnitude is >= both neighbors along the gradient."""
+    """Canny non-maximum suppression with 4-bin direction quantization,
+    matching OpenCV's tie-breaks (canny.cpp): strict ``>`` against one
+    neighbor and ``>=`` against the other in the axis bins, strict against
+    both in the diagonal bins — so constant-gradient ramps (every pixel tied
+    with its neighbors) produce NO edges, exactly like cv::Canny."""
     p = jnp.pad(mag, 1, mode="constant")
     c = p[1:-1, 1:-1]
     nbr = {
@@ -150,10 +153,10 @@ def _nms(mag: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
     # direction bins: horizontal grad -> compare e/w; vertical -> n/s; diagonals
     horiz = ax >= 2.4142 * ay  # gradient within 22.5deg of horizontal
     vert = ay >= 2.4142 * ax
-    keep_h = (c >= nbr["e"]) & (c >= nbr["w"])
-    keep_v = (c >= nbr["n"]) & (c >= nbr["s"])
-    keep_d1 = (c >= nbr["se"]) & (c >= nbr["nw"])  # gradient along +x+y
-    keep_d2 = (c >= nbr["ne"]) & (c >= nbr["sw"])
+    keep_h = (c > nbr["w"]) & (c >= nbr["e"])
+    keep_v = (c > nbr["n"]) & (c >= nbr["s"])
+    keep_d1 = (c > nbr["nw"]) & (c > nbr["se"])  # gradient along +x+y
+    keep_d2 = (c > nbr["ne"]) & (c > nbr["sw"])
     keep_diag = jnp.where(same_sign, keep_d1, keep_d2)
     return jnp.where(horiz, keep_h, jnp.where(vert, keep_v, keep_diag))
 

@@ -97,6 +97,14 @@ class WorldHyper(NamedTuple):
     # gravity-subtracted — the use_odom_est path of the reference,
     # AvoidanceStateMachine.cpp:136-153) instead of plant ground truth
     use_imu_estimation: bool = False
+    # only_trust_vel (reference real-vehicle mode): odom position/attitude
+    # are NOT trusted — position is zeroed at every odom message and
+    # dead-reckoned from velocity between messages
+    # (AvoidanceStateMachine.cpp:118-131), attitude comes from the IMU
+    # (:147-150), and the keyframe map is disabled entirely so only the
+    # current depth frame is queryable (FrameKDMap.cpp:29).  The engine then
+    # plans in a drone-local frame.
+    only_trust_vel: bool = False
 
 
 def build_world(
@@ -152,6 +160,7 @@ def build_world(
         render_h=render_h,
         render_w=render_w,
         pcfg=sim_pcfg,
+        only_trust_vel=cfg.task.only_trust_vel,
     )
     return params, hyper
 
@@ -257,11 +266,28 @@ def world_step_full(
         Twc, field, hyper.pcfg, hyper.render_h, hyper.render_w,
         key=k_noise if hyper.use_depth_noise else None,
     )
-    pts, mask, epts, emask = process_depth_frame(depth, Twb, params.cam)
-    m = map_add_frame(ws.map, pts, mask, epts, emask, Twc)
-    m = map_keyframe_update(
-        m, params.Tbc, params.depth_min, params.dedupe_dist, params.dedupe_count
-    )
+    if hyper.only_trust_vel:
+        # Drone-local planning frame: odom position is zeroed every message
+        # and integrated from velocity until the next one — one tick's worth
+        # here (AvoidanceStateMachine.cpp:128-131,143-146).  Attitude from the
+        # IMU (= plant attitude in sim).  Depth is still RENDERED from the
+        # true camera pose (sensor physics), but BACK-PROJECTED through the
+        # estimated body pose so map points live in the planning frame.
+        p_est = x_true[4:7] * params.con_dt + 0.5 * x_true[7:10] * params.con_dt**2
+        x_true = x_true.at[0:3].set(p_est)
+        Twb_est = jnp.eye(4, dtype=dtype).at[:3, :3].set(
+            quat_to_rotmat(ws.plant.q)
+        ).at[:3, 3].set(p_est)
+        pts, mask, epts, emask = process_depth_frame(depth, Twb_est, params.cam)
+        # keyframe map disabled (FrameKDMap.cpp:29): current frame only —
+        # the local frame is not inertial, so keyframes would be inconsistent
+        m = map_add_frame(ws.map, pts, mask, epts, emask, Twb_est @ params.Tbc)
+    else:
+        pts, mask, epts, emask = process_depth_frame(depth, Twb, params.cam)
+        m = map_add_frame(ws.map, pts, mask, epts, emask, Twc)
+        m = map_keyframe_update(
+            m, params.Tbc, params.depth_min, params.dedupe_dist, params.dedupe_count
+        )
 
     # --- 3: mission FSM ---
     bf_waiting = (ws.ctrl.fsm == FSM_AUTO_HOVER) | (ws.ctrl.fsm == FSM_CMD_CTRL)

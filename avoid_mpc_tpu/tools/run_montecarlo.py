@@ -35,6 +35,14 @@ def main(argv=None):
     parser.add_argument("--speed", type=float, default=None)
     parser.add_argument("--trees", type=int, default=16)
     parser.add_argument("--profile", default=None, help="jax.profiler trace dir")
+    # --- collision-barrier ablation knobs (runtime values: no recompile) ---
+    parser.add_argument("--lam-omni", type=float, default=None,
+                        help="omnidirectional barrier weight (collide_lambda_omni)")
+    parser.add_argument("--margin-v", type=float, default=None,
+                        help="speed-scaled margin m/(m/s)")
+    parser.add_argument("--ttc", type=float, default=None,
+                        help="TTC slow-down threshold s (<=0 off)")
+    parser.add_argument("--drone-radius", type=float, default=None)
     args = parser.parse_args(argv)
 
     import jax
@@ -42,6 +50,9 @@ def main(argv=None):
     import numpy as np
 
     from avoid_mpc_tpu.config import load_config
+    from avoid_mpc_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from avoid_mpc_tpu.sim import (
         ScenarioConfig,
         build_world,
@@ -53,8 +64,21 @@ def main(argv=None):
     from avoid_mpc_tpu.utils.recorder import FlightRecorder
 
     cfg = load_config(args.config)
+    mpc_over = {}
     if args.speed is not None:
-        cfg = dataclasses.replace(cfg, mpc=dataclasses.replace(cfg.mpc, speed=args.speed))
+        mpc_over["speed"] = args.speed
+    if args.margin_v is not None:
+        mpc_over["margin_v"] = args.margin_v
+    if args.ttc is not None:
+        mpc_over["ttc_threshold"] = args.ttc
+    if args.drone_radius is not None:
+        mpc_over["drone_radius"] = args.drone_radius
+    if args.lam_omni is not None:
+        mpc_over["weights"] = dataclasses.replace(
+            cfg.mpc.weights, collide_lambda_omni=args.lam_omni
+        )
+    if mpc_over:
+        cfg = dataclasses.replace(cfg, mpc=dataclasses.replace(cfg.mpc, **mpc_over))
 
     params, hyper = build_world(
         cfg, render_scale=args.render_scale, grid_scale=args.grid_scale, map_frames=args.map_frames
@@ -76,6 +100,9 @@ def main(argv=None):
     tracker = LatencyTracker()
     n_chunks = max(args.ticks // args.chunk, 1)
 
+    # running per-scenario minimum clearance over the WHOLE flight (the
+    # summary previously looked only at the final chunk)
+    min_clear = np.full(args.batch, np.inf)
     ctx = trace(args.profile) if args.profile else _nullcontext()
     with ctx:
         for i in range(n_chunks):
@@ -83,16 +110,16 @@ def main(argv=None):
             tracker.update(dt_s / args.chunk)
             rec.record(jax.tree.map(lambda a: np.asarray(a[:, -1]), diag))
             p = np.asarray(diag.p)
+            min_clear = np.minimum(min_clear, np.asarray(diag.clearance).min(axis=1))
             print(
                 f"chunk {i + 1}/{n_chunks}: t={float(ws.t[0]):.2f}s "
                 f"x=[{p[:, -1, 0].min():.1f},{p[:, -1, 0].max():.1f}] "
-                f"min_clear={np.asarray(diag.clearance).min():.2f} "
+                f"min_clear={min_clear.min():.2f} "
                 f"tick={tracker.ewma * 1e3:.1f}ms",
                 flush=True,
             )
 
     bag = rec.save()
-    clear_all = np.asarray(diag.clearance)
     summary = {
         "batch": args.batch,
         "ticks": n_chunks * args.chunk,
@@ -100,8 +127,15 @@ def main(argv=None):
         # tracker samples are already per-tick (update divides by chunk)
         "tick_ms_p50": tracker.percentile(50) * 1e3,
         "final_x_mean": float(np.asarray(diag.p)[:, -1, 0].mean()),
-        "min_clearance": float(clear_all.min()),
-        "collisions": int((clear_all.min(axis=1) <= 0.0).sum()),
+        "min_clearance": float(min_clear.min()),
+        "collisions": int((min_clear <= 0.0).sum()),
+        "per_scenario_min_clearance": [round(float(c), 3) for c in min_clear],
+        "config": {
+            "speed": cfg.mpc.speed, "drone_radius": cfg.mpc.drone_radius,
+            "lam_omni": cfg.mpc.weights.collide_lambda_omni,
+            "margin_v": cfg.mpc.margin_v, "ttc": cfg.mpc.ttc_threshold,
+            "trees": args.trees, "map_frames": args.map_frames, "seed": args.seed,
+        },
         "bag": bag,
         "device": str(jax.devices()[0]),
     }

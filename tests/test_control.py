@@ -184,3 +184,45 @@ def test_bfctrl_jit_and_vmap():
 
     out = jax.jit(jax.vmap(step1))(batch, cmd)
     assert int(out[0].fsm[0]) == FSM_AUTO_TAKEOFF
+
+
+def test_home_frame_latch():
+    """Home-frame latch (input.cpp:15-104): first fix latches position +
+    yaw-only attitude; subsequent odometry is re-expressed relative to home;
+    the latch point itself maps to the origin with zero yaw."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    from avoid_mpc_tpu.control.home_frame import HomeFrame, feed_odom
+    from avoid_mpc_tpu.utils.quaternion import yaw_from_quat
+
+    dtype = jnp.float64
+    # first fix: offset position, attitude with yaw=0.7 + some tilt
+    rot0 = Rotation.from_euler("ZYX", [0.7, 0.1, -0.05])
+    q0 = jnp.asarray(np.roll(rot0.as_quat(), 1), dtype)  # xyzw -> wxyz
+    p0 = jnp.asarray([10.0, -4.0, 2.0], dtype)
+    v0 = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    w0 = jnp.asarray([0.0, 0.0, 0.3], dtype)
+
+    home = HomeFrame.unset(dtype)
+    home, p_l, q_l, v_l, w_l = feed_odom(home, p0, q0, v0, w0)
+    assert bool(home.latched)
+    # the latch point maps to origin, zero yaw (tilt survives: yaw-only home)
+    np.testing.assert_allclose(np.asarray(p_l), 0.0, atol=1e-12)
+    np.testing.assert_allclose(float(yaw_from_quat(q_l)), 0.0, atol=1e-12)
+    # velocity rotated into the home frame by -yaw
+    np.testing.assert_allclose(
+        np.asarray(v_l),
+        Rotation.from_euler("z", -0.7).apply(np.array(v0)), atol=1e-12,
+    )
+
+    # a second fix 1 m "forward" along home-yaw maps to +x in local frame
+    fwd = Rotation.from_euler("z", 0.7).apply([1.0, 0.0, 0.0])
+    home2, p_l2, *_ = feed_odom(home, p0 + jnp.asarray(fwd, dtype), q0, v0, w0)
+    np.testing.assert_allclose(np.asarray(home2.p_home), np.asarray(p0))  # no relatch
+    np.testing.assert_allclose(np.asarray(p_l2), [1.0, 0.0, 0.0], atol=1e-12)
+
+    # use_global_odom passes odometry through untouched
+    _, p_g, q_g, v_g, _ = feed_odom(home, p0, q0, v0, w0, use_global_odom=True)
+    np.testing.assert_allclose(np.asarray(p_g), np.asarray(p0))
+    np.testing.assert_allclose(np.asarray(q_g), np.asarray(q0))

@@ -216,3 +216,74 @@ def test_batched_engine_vmaps():
         np.asarray(outs.u_cmd[0]), np.asarray(o0.u_cmd), atol=1e-8
     )
     assert outs.u_cmd.shape == (2, 4)
+
+
+def test_ttc_trigger_forces_slow_down():
+    """ttc_threshold > 0: closing fast on a tangential/near obstacle forces
+    the PD slow-down command even when the solver returns a 'safe' plan
+    (round-2 extension; reference triggers on distance only,
+    AvoidanceStateMachine.cpp:345-350)."""
+    # obstacle 2 m ahead, drone closing at 5 m/s -> TTC ~ (2-0.5)/5 = 0.3 s
+    m = map_with_points(np.asarray([[2.0, 0.0, 1.5]]))
+    x = hover_state().at[4].set(5.0)
+    es = engine_init(CFG, dtype=DTYPE)
+
+    p_on = P._replace(ttc_threshold=jnp.asarray(0.5, DTYPE))
+    _, out_on = receding_step(es, x, m, p_on, H)
+    assert not bool(out_on.is_safety)
+    # the command is the PD slow-down formula, not the MPC control
+    from avoid_mpc_tpu.engine.receding import _slow_down_cmd
+
+    np.testing.assert_allclose(
+        np.asarray(out_on.u_cmd), np.asarray(_slow_down_cmd(x, p_on)), atol=1e-9
+    )
+
+    # receding obstacle (moving away) never triggers regardless of threshold
+    x_away = hover_state().at[4].set(-5.0)
+    _, out_away = receding_step(es, x_away, m, p_on, H)
+    assert bool(out_away.is_safety)
+
+    # disabled (0) -> same geometry stays nominal
+    _, out_off = receding_step(es, x, m, P, H)
+    assert bool(out_off.is_safety)
+
+
+def test_global_goal_task_steps_toward_goal():
+    """TASK_GLOBAL_GOAL horizon shift walks the far end toward the clicked
+    goal at speed*dt per tick (AvoidanceStateMachine.cpp:38-45), including
+    the lateral component."""
+    cfg = dataclasses.replace(CFG, task=dataclasses.replace(CFG.task, task="global_goal"))
+    h_gg = EngineHyper.from_config(cfg)
+    from avoid_mpc_tpu.engine.receding import TASK_GLOBAL_GOAL, _shift_horizon
+
+    assert h_gg.task_mode == TASK_GLOBAL_GOAL
+    es = engine_init(cfg, dtype=DTYPE)
+    goal = jnp.asarray([8.0, 3.0, 1.5] + [0.0] * 7, dtype=DTYPE)
+    es = es._replace(goal=goal)
+    pos = jnp.zeros(3, dtype=DTYPE)
+
+    last0 = es.ref_path[-1, 0:3]
+    d0 = float(jnp.linalg.norm(goal[0:3] - last0))
+    es1 = _shift_horizon(es, pos, P, h_gg)
+    last1 = es1.ref_path[-1, 0:3]
+    d1 = float(jnp.linalg.norm(goal[0:3] - last1))
+    step = float(P.speed * P.sp.dt)
+    np.testing.assert_allclose(d0 - d1, min(step, d0), rtol=1e-6)
+    # the step moves along the straight line to the goal
+    dir_goal = (goal[0:3] - last0) / d0
+    np.testing.assert_allclose(
+        np.asarray((last1 - last0) / jnp.linalg.norm(last1 - last0)),
+        np.asarray(dir_goal), rtol=1e-6,
+    )
+
+    # closed loop: repeated shifts converge the path end onto the goal
+    es_k = es
+    for _ in range(60):
+        es_k = _shift_horizon(es_k, pos, P, h_gg)
+    np.testing.assert_allclose(
+        np.asarray(es_k.ref_path[-1, 0:3]), np.asarray(goal[0:3]), atol=1e-6
+    )
+
+    # and a full receding_step in global-goal mode flies without error
+    _, out = receding_step(es, hover_state(), empty_map(), P, h_gg)
+    assert bool(jnp.all(jnp.isfinite(out.u_cmd)))

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes on CPU
+
 from avoid_mpc_tpu.config import MPCConfig
 from avoid_mpc_tpu.solver.ilqr import (
     MPCProblem,

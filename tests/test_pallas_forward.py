@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes on CPU
 
 from avoid_mpc_tpu.config import MPCConfig
 from avoid_mpc_tpu.models.costs import trajectory_cost

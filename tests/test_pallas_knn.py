@@ -3,9 +3,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from avoid_mpc_tpu.ops.knn import knn
 from avoid_mpc_tpu.ops.pallas_knn import knn_pallas_batched
+
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes on CPU
 
 
 def ref_knn(queries, points, mask, k):
@@ -37,7 +40,9 @@ def test_unaligned_sizes_and_padding():
 
 def test_few_valid_points_sentinel():
     B, Q, P = 1, 4, 128
-    points = jnp.zeros((B, P, 3), jnp.float32).at[0, 0].set(jnp.asarray([1.0, 2, 3]))
+    points = jnp.zeros((B, P, 3), jnp.float32).at[0, 0].set(
+        jnp.asarray([1.0, 2, 3], jnp.float32)
+    )
     mask = jnp.zeros((B, P), bool).at[0, 0].set(True)
     queries = jnp.zeros((B, Q, 3), jnp.float32)
     d, p = knn_pallas_batched(queries, points, mask, k=3, chunk=128, interpret=True)

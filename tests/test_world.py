@@ -151,3 +151,36 @@ def test_map_point_cloud_dump():
     cloud, frame_id, mask = map_point_cloud(m)
     assert cloud.shape == (24, 3) and frame_id.shape == (24,)
     assert bool(mask[:8].all())  # current frame queryable
+
+
+def test_only_trust_vel_mode():
+    """only_trust_vel (reference real-vehicle mode): keyframe map disabled —
+    only the current frame is queryable (FrameKDMap.cpp:29) — position
+    dead-reckoned from velocity in a drone-local frame
+    (AvoidanceStateMachine.cpp:118-131), attitude from the IMU (:147-150).
+    The closed loop must still cruise and avoid obstacles on current-frame
+    perception alone."""
+    cfg = dataclasses.replace(
+        CFG, task=dataclasses.replace(CFG.task, only_trust_vel=True)
+    )
+    params, hyper = build_world(cfg, render_scale=8, grid_scale=4, map_frames=4, dtype=DTYPE)
+    assert hyper.only_trust_vel
+    from avoid_mpc_tpu.sim import world_init as winit, rollout_world as roll
+
+    scfg = ScenarioConfig(
+        n_cylinders=10, x_range=(4.0, 20.0), y_range=(-4.0, 4.0),
+        radius_range=(0.25, 0.4),
+    )
+    field = random_forest(jax.random.PRNGKey(5), scfg, dtype=DTYPE)
+    ws = winit(cfg, params, hyper, jnp.zeros(2, dtype=DTYPE), jax.random.PRNGKey(0), dtype=DTYPE)
+    fn = jax.jit(lambda ws: roll(ws, field, params, hyper, 200))
+    ws, diag = fn(ws)
+    p = np.asarray(diag.p)
+    clear = np.asarray(diag.clearance)
+    assert np.isfinite(p).all()
+    # keyframe ring never populated: current-frame-only perception
+    assert int(ws.map.count) == 0
+    # still flies forward and stays clear of the trees once airborne
+    airborne = p[:, 2] > 0.3
+    assert clear[airborne].min() > 0.0, clear[airborne].min()
+    assert p[-1, 0] > 3.0, p[-1, 0]
