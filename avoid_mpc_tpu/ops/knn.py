@@ -46,7 +46,22 @@ def _pairwise_sq_dists(queries: jax.Array, points: jax.Array) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
+# Above this point count the dense (Q,P) distance matrix is traded for the
+# chunked scan (peak memory O(Q*chunk) — reference-scale maps are
+# (100+1)*3072 ~ 310k points, where dense would be hundreds of MB per
+# scenario under vmap).
+_DENSE_P_MAX = 8192
+_CHUNK = 2048
+
+
 def _knn_xla(queries, points, mask, k: int):
+    p = points.shape[0]
+    if p > _DENSE_P_MAX:
+        pad = (-p) % _CHUNK
+        if pad:
+            points = jnp.pad(points, ((0, pad), (0, 0)))
+            mask = jnp.pad(mask, (0, pad))
+        return knn_chunked(queries, points, mask, k, chunk=_CHUNK)
     d2 = _pairwise_sq_dists(queries, points)
     d2 = jnp.where(mask[None, :], d2, _INF)
     neg, idx = jax.lax.top_k(-d2, k)  # (Q,k)

@@ -111,7 +111,7 @@ def build_world(
     cfg: EngineConfig,
     render_scale: int = 1,
     grid_scale: int | None = None,
-    map_frames: int = 16,
+    map_frames: int | None = None,
     dtype=jnp.float32,
 ) -> tuple[WorldParams, WorldHyper]:
     """Assemble params for a world whose camera renders at
@@ -119,11 +119,16 @@ def build_world(
     further ``grid_scale`` coarser (the reference's resize_scale role).
 
     Defaults reproduce the reference geometry exactly: 640x480 render,
-    /10 grid -> 64x48 = 3072 points per frame.  Reduced-fidelity sweeps pick
-    render_scale>1 and a grid_scale that keeps the map a sane size
+    /10 grid -> 64x48 = 3072 points per frame, and ``map_frames=None`` takes
+    the config's ``max_frame_count`` (reference mpc_parameters.yaml: 100
+    keyframes -> (100+1)*3072 ~ 310k queryable points; ops.knn chunks big
+    clouds automatically).  Reduced-fidelity sweeps pick render_scale>1 and
+    a grid_scale/map_frames that keep the map a sane size
     (points/frame = render_w/grid_scale * render_h/grid_scale).
     """
     p = cfg.perception
+    if map_frames is None:
+        map_frames = p.max_frame_count
     if grid_scale is None:
         grid_scale = max(p.resize_scale // render_scale, 1)
     render_h, render_w = p.height // render_scale, p.width // render_scale

@@ -490,32 +490,46 @@ def _solve_impl(
             cp.collide_lambda, cp.drone_radius, cp.lam_omni, cp.margin_v,
         )
 
-    def iteration(carry, _):
+    # iters+1 scan: the extra masked pass linearizes at the FINAL point and
+    # reports its projected gradient without applying the update, so
+    # ``grad_norm`` certifies the returned iterate (round-1 VERDICT).  Doing
+    # it inside the scan keeps one uniform kernel schedule — a standalone
+    # post-loop backward call compiles with entry layouts/transposes that
+    # measured ~9.4 ms on-chip vs ~1 ms for the identical in-loop kernel.
+    def iteration(carry, i):
         us, xs, cost, reg, grad_norm = carry
         A, B = stage_jacobians(xs, us)
         cx, cxx, lu, luu = _linearize(problem, xs, us, sp)
         k_ff, K, dV1, dV2, pg = _backward_dispatch(
             us, A, B, cx, cxx, lu, luu, reg, sp, hp
         )
-        us_new, xs_new, cost_new, any_ok = line_search(us, xs, k_ff, K, dV1, dV2, cost)
-        reg_new = jnp.where(
-            any_ok,
-            jnp.maximum(reg * 0.2, hp.reg_min),
-            jnp.minimum(jnp.maximum(reg, 1e-4) * 8.0, hp.reg_max),
+        # ``i`` is the scan counter — unbatched under vmap, so this stays a
+        # real branch (the final pass skips the line-search kernel entirely)
+        def update(args):
+            us, xs, cost, reg, k_ff, K, dV1, dV2 = args
+            us_new, xs_new, cost_new, any_ok = line_search(
+                us, xs, k_ff, K, dV1, dV2, cost
+            )
+            reg_new = jnp.where(
+                any_ok,
+                jnp.maximum(reg * 0.2, hp.reg_min),
+                jnp.minimum(jnp.maximum(reg, 1e-4) * 8.0, hp.reg_max),
+            )
+            return us_new, xs_new, cost_new, reg_new
+
+        def hold(args):
+            us, xs, cost, reg, *_ = args
+            return us, xs, cost, reg
+
+        us, xs, cost, reg = jax.lax.cond(
+            i < hp.iters, update, hold, (us, xs, cost, reg, k_ff, K, dV1, dV2)
         )
-        return (us_new, xs_new, cost_new, reg_new, pg), None
+        return (us, xs, cost, reg, pg), None
 
     reg0 = jnp.asarray(hp.reg_init, dtype=dtype)
     carry = (us0, xs0, cost0, reg0, jnp.asarray(jnp.inf, dtype=dtype))
-    (us, xs, cost, reg, _), _ = jax.lax.scan(
-        iteration, carry, None, length=hp.iters
-    )
-    # Report stationarity AT the returned point: one extra linearize+backward
-    # (the in-loop pg certifies the pre-update iterate — round-1 VERDICT).
-    A_f, B_f = stage_jacobians(xs, us)
-    cx_f, cxx_f, lu_f, luu_f = _linearize(problem, xs, us, sp)
-    _, _, _, _, grad_norm = _backward_dispatch(
-        us, A_f, B_f, cx_f, cxx_f, lu_f, luu_f, reg, sp, hp
+    (us, xs, cost, reg, grad_norm), _ = jax.lax.scan(
+        iteration, carry, jnp.arange(hp.iters + 1)
     )
     return SolveResult(
         us=us,

@@ -225,7 +225,7 @@ def bench_replay_12ms(steps: int):
     record_s = time.time() - t0
     speed = float(jnp.max(jnp.linalg.norm(log.v, axis=-1)))
 
-    rep = jax.jit(lambda lg: replay(lg, params, hyper))
+    rep = jax.jit(lambda lg: replay(lg, cfg, params, hyper))
     t0 = time.time()
     out = jax.block_until_ready(rep(log))
     compile_s = time.time() - t0
@@ -233,7 +233,7 @@ def bench_replay_12ms(steps: int):
     import numpy as np
 
     p50 = float(np.percentile(lat, 50))
-    u_err = float(jnp.max(jnp.abs(out.u_cmd - log.u_cmd)))
+    u_err = float(jnp.max(jnp.abs(out[0] - log.u_cmd)))
     return {
         "p50_ms_per_tick": round(p50 / ticks * 1e3, 3),
         "p99_ms_per_tick": round(float(np.percentile(lat, 99)) / ticks * 1e3, 3),

@@ -34,9 +34,15 @@ def main():
     from avoid_mpc_tpu.solver.ilqr import MPCProblem
 
     assert jax.device_count() >= 8, jax.devices()
-    # sized for CPU wall-clock: the curve measures sharding overhead, not
-    # absolute throughput (that's the TPU configs' job)
-    b, n_pts = 128, 32
+    # WEAK scaling: per-device batch fixed, global batch grows with the mesh.
+    # The virtual "devices" are threads of one multi-core host, so the
+    # speedup n*t_1/t_n measures how well shard_map + the psum metrics
+    # collectives convert extra devices into throughput (bounded by host
+    # cores; ideal flat-t weak scaling = n).  This is the single-host
+    # stand-in for BASELINE.md's multi-host leg — it validates the sharded
+    # program and bounds its overhead; absolute multi-chip speedup needs
+    # real chips.
+    b_per, n_pts = 8, 32
     cfg = MPCConfig(mpc_T=0.66)
     n = cfg.horizon_steps
     sp = SolverParams.from_config(cfg)
@@ -45,22 +51,24 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
     from __graft_entry__ import _build_problem_batch
 
-    x0, ref, target, pts, mask = _build_problem_batch(b, n, n_pts, jnp.float32)
-    from avoid_mpc_tpu.ops.knn import knn
-
-    _, obstacles = jax.vmap(lambda r, p, m: knn(r[:, 0:3], p, m, k=3))(ref, pts, mask)
-    problems = MPCProblem(x0=x0, ref=ref, obstacles=obstacles, target=target)
-    us = jnp.zeros((b, n, 4), jnp.float32).at[:, :, 2].set(9.81)
-
     curve = {}
     t_per = {}
     for nd in (1, 2, 4, 8):
+        b = b_per * nd
+        x0, ref, target, pts, mask = _build_problem_batch(b, n, n_pts, jnp.float32)
+        from avoid_mpc_tpu.ops.knn import knn
+
+        _, obstacles = jax.vmap(lambda r, p, m: knn(r[:, 0:3], p, m, k=3))(ref, pts, mask)
+        problems = MPCProblem(x0=x0, ref=ref, obstacles=obstacles, target=target)
+        us = jnp.zeros((b, n, 4), jnp.float32).at[:, :, 2].set(9.81)
         mesh = make_mesh(
             n_scenario_shards=nd, n_point_shards=1, devices=jax.devices()[:nd]
         )
 
         def run(pr, u, mesh=mesh):
-            return shard_solve(mesh, pr, u, sp, hp)
+            res = shard_solve(mesh, pr, u, sp, hp)
+            # metrics reduction rides psum over the scenario axis
+            return res, sharded_metrics(mesh, res.cost, res.converged)
 
         res = jax.block_until_ready(run(problems, us))  # compile + warm
         lat = []
@@ -71,18 +79,17 @@ def main():
         p50 = float(np.median(lat))
         t_per[nd] = p50
         curve[str(nd)] = {
+            "global_batch": b,
             "p50_ms": round(p50 * 1e3, 2),
             "solves_per_sec": round(b / p50, 1),
         }
-        # metrics reduction rides psum over the scenario axis
-        _ = sharded_metrics(mesh, res.cost, res.converged)
 
     for nd in (2, 4, 8):
-        # fixed total batch: ideal is t_1/n, so efficiency = t_1 / (n * t_n)
-        curve[str(nd)]["efficiency_vs_1dev"] = round(t_per[1] / (nd * t_per[nd]), 3)
+        # throughput speedup vs the 1-device mesh (ideal = n)
+        curve[str(nd)]["speedup_vs_1dev"] = round(nd * t_per[1] / t_per[nd], 3)
     print(json.dumps({
-        "metric": "scaling_curve_virtual_cpu_mesh",
-        "batch": b, "horizon": n, "devices": curve,
+        "metric": "weak_scaling_virtual_cpu_mesh",
+        "batch_per_device": b_per, "horizon": n, "devices": curve,
     }))
 
 

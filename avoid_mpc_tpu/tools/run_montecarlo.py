@@ -31,7 +31,8 @@ def main(argv=None):
     parser.add_argument("--out", default="runs/montecarlo")
     parser.add_argument("--render-scale", type=int, default=8)
     parser.add_argument("--grid-scale", type=int, default=4)
-    parser.add_argument("--map-frames", type=int, default=8)
+    parser.add_argument("--map-frames", type=int, default=None,
+                        help="keyframe slots (default: config max_frame_count = 100)")
     parser.add_argument("--speed", type=float, default=None)
     parser.add_argument("--trees", type=int, default=16)
     parser.add_argument("--profile", default=None, help="jax.profiler trace dir")
@@ -134,7 +135,8 @@ def main(argv=None):
             "speed": cfg.mpc.speed, "drone_radius": cfg.mpc.drone_radius,
             "lam_omni": cfg.mpc.weights.collide_lambda_omni,
             "margin_v": cfg.mpc.margin_v, "ttc": cfg.mpc.ttc_threshold,
-            "trees": args.trees, "map_frames": args.map_frames, "seed": args.seed,
+            "trees": args.trees, "map_frames": hyper.map_shape.n_frames,
+            "seed": args.seed,
         },
         "bag": bag,
         "device": str(jax.devices()[0]),

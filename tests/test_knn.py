@@ -85,3 +85,23 @@ def test_knn_batched_per_scenario_clouds():
     for b in range(B):
         idx, od = oracles.knn_oracle(queries[b], points[b][masks[b]], 3)
         np.testing.assert_allclose(np.asarray(dists[b]), od, rtol=1e-10, atol=1e-10)
+
+
+def test_knn_reference_scale_auto_chunks():
+    """Reference-scale map query: (100+1 keyframes)*3072 ~ 310k points
+    (mpc_parameters.yaml max_frame_count=100, FrameKDMap.cpp:34-52 scale).
+    `knn` must route through the chunked scan above _DENSE_P_MAX (never
+    materializing the dense (Q,P) matrix) and still match the oracle,
+    including a masked tail that is not a chunk multiple."""
+    rng = np.random.default_rng(7)
+    P = 101 * 3072  # 310,272 — not a multiple of the 2048 chunk
+    queries = rng.standard_normal((31, 3)) * 10
+    points = rng.standard_normal((P, 3)) * 10
+    mask = np.ones(P, bool)
+    mask[::97] = False  # ragged invalid slots
+    dists, pts = jax.jit(lambda q, p, m: knn(q, p, m, k=3))(
+        jnp.asarray(queries), jnp.asarray(points), jnp.asarray(mask)
+    )
+    idx, od = oracles.knn_oracle(queries, points[mask], 3)
+    np.testing.assert_allclose(np.asarray(dists), od, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pts), points[mask][idx], rtol=1e-12)

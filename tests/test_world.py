@@ -184,3 +184,29 @@ def test_only_trust_vel_mode():
     airborne = p[:, 2] > 0.3
     assert clear[airborne].min() > 0.0, clear[airborne].min()
     assert p[-1, 0] > 3.0, p[-1, 0]
+
+
+def test_reference_scale_keyframe_map():
+    """map_frames=None defaults to the config's max_frame_count (reference
+    mpc_parameters.yaml: 100 keyframes) and the F=100 world still flies: the
+    map ring holds 100 slots, map_query routes through the chunked k-NN path
+    (ops.knn._DENSE_P_MAX), and a cruise past obstacles stays collision-free.
+    Small render grid keeps CPU time in budget while exercising the full
+    F=100 ring/prune/dedupe plumbing in jit."""
+    params, hyper = build_world(CFG, render_scale=8, grid_scale=4, dtype=DTYPE)
+    assert hyper.map_shape.n_frames == 100  # PerceptionConfig.max_frame_count
+    from avoid_mpc_tpu.sim import world_init as winit, rollout_world as roll
+
+    scfg = ScenarioConfig(
+        n_cylinders=8, x_range=(5.0, 18.0), y_range=(-3.0, 3.0),
+        radius_range=(0.3, 0.45),
+    )
+    field = random_forest(jax.random.PRNGKey(3), scfg, dtype=DTYPE)
+    ws = winit(CFG, params, hyper, jnp.zeros(2, dtype=DTYPE), jax.random.PRNGKey(0), dtype=DTYPE)
+    fn = jax.jit(lambda ws: roll(ws, field, params, hyper, 220))
+    ws, diag = fn(ws)
+    p = np.asarray(diag.p)
+    assert np.isfinite(p).all()
+    assert int(np.asarray(ws.map.count)) > 1  # multiple keyframes committed
+    assert float(np.asarray(diag.clearance).min()) > 0.0  # no collision
+    assert p[-1, 0] > 3.0  # made forward progress
