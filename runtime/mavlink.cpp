@@ -61,7 +61,7 @@ int mavlink2_pack(uint32_t msgid, const uint8_t* payload, size_t payload_len,
     out[7] = static_cast<uint8_t>(msgid & 0xFF);
     out[8] = static_cast<uint8_t>((msgid >> 8) & 0xFF);
     out[9] = static_cast<uint8_t>((msgid >> 16) & 0xFF);
-    std::memcpy(out + kHeaderLen, payload, plen);
+    if (plen) std::memcpy(out + kHeaderLen, payload, plen);
     uint16_t crc = mavlink_crc(out + 1, kHeaderLen - 1 + plen, crc_extra);
     out[kHeaderLen + plen] = static_cast<uint8_t>(crc & 0xFF);
     out[kHeaderLen + plen + 1] = static_cast<uint8_t>(crc >> 8);
@@ -108,7 +108,7 @@ int mavlink_parser_feed(void* pp, uint8_t byte, uint8_t crc_extra,
                          (static_cast<uint32_t>(p->buf[8]) << 8) |
                          (static_cast<uint32_t>(p->buf[9]) << 16);
                 *payload_len = static_cast<uint8_t>(plen);
-                std::memcpy(payload, p->buf + kHeaderLen, plen);
+                if (plen) std::memcpy(payload, p->buf + kHeaderLen, plen);
             }
             return 1;
     }
