@@ -1,8 +1,18 @@
 from avoid_mpc_tpu.sim.plant import (  # noqa: F401
     SixDofParams,
+    SixDofRotorState,
     SixDofState,
     sixdof_init,
+    sixdof_rotor_init,
     sixdof_step,
+    sixdof_step_rotor,
+)
+from avoid_mpc_tpu.sim.rotor import (  # noqa: F401
+    RotorParams,
+    RotorState,
+    mix_quadx,
+    rotor_init,
+    rotor_step,
 )
 from avoid_mpc_tpu.sim.sensors import (  # noqa: F401
     ObstacleField,

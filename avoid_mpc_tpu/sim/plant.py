@@ -119,11 +119,12 @@ def _attitude_error_rpy(q_des: jax.Array, q: jax.Array) -> jax.Array:
     return jnp.stack([roll, pitch, yaw])
 
 
-def _cascade(
+def _cascade_u(
     s: SixDofState, q_des: jax.Array, dt, p: SixDofParams
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Angle PID -> rate command -> rate PID -> torque.
-    Returns (torque, new angle_int, new rate_int)."""
+    """Angle PID -> rate command -> rate PID.  Returns the *normalized*
+    per-axis output ``u`` (what simple_flight hands the mixer) plus the new
+    integrator states."""
     ang_err = _attitude_error_rpy(q_des, s.q)
     angle_int = jnp.clip(s.angle_int + ang_err * dt, -0.5, 0.5)
     rate_cmd = p.angle_kp * ang_err + p.angle_ki * angle_int
@@ -132,6 +133,15 @@ def _cascade(
     rate_err = rate_cmd - s.w
     rate_int = jnp.clip(s.rate_int + rate_err * dt, -1.0, 1.0)
     u = p.rate_kp * rate_err + p.rate_ki * rate_int - p.rate_kd * s.a_ang
+    return u, angle_int, rate_int
+
+
+def _cascade(
+    s: SixDofState, q_des: jax.Array, dt, p: SixDofParams
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Angle PID -> rate command -> rate PID -> torque.
+    Returns (torque, new angle_int, new rate_int)."""
+    u, angle_int, rate_int = _cascade_u(s, q_des, dt, p)
     torque = u * p.torque_scale * p.inertia / jnp.max(p.inertia)
     return torque, angle_int, rate_int
 
@@ -198,6 +208,96 @@ def sixdof_step(
 
     s, _ = jax.lax.scan(sub, s, None, length=p.substeps)
     return s
+
+
+class SixDofRotorState(NamedTuple):
+    """Plant state at per-rotor fidelity: rigid body + actuator filters."""
+
+    body: SixDofState
+    rotors: "RotorState"  # noqa: F821 — imported lazily below
+
+
+def sixdof_rotor_init(p0: jax.Array, yaw0=None, dtype=jnp.float32) -> SixDofRotorState:
+    from avoid_mpc_tpu.sim.rotor import rotor_init
+
+    return SixDofRotorState(
+        body=sixdof_init(p0, yaw0, dtype=dtype), rotors=rotor_init(dtype=dtype)
+    )
+
+
+def sixdof_step_rotor(
+    s: SixDofRotorState,
+    q_des: jax.Array,
+    thrust_signal: jax.Array,
+    dt: float,
+    p: SixDofParams,
+    rp=None,
+) -> SixDofRotorState:
+    """Advance one control period at per-rotor fidelity.
+
+    Same rigid-body math as :func:`sixdof_step`, but the wrench comes from
+    the full actuation chain the reference runs: cascade output -> QuadX
+    mixer (``Mixer.hpp:19-48``) -> per-rotor first-order filters ->
+    thrust/drag-torque vertex wrenches summed over the 4 rotors
+    (``RotorActuator.hpp:108-129``, ``MultiRotorParams.hpp:101-141``) — so
+    attitude torque saturates with motor limits and yaw authority comes from
+    rotor drag, not the collective ``torque_scale`` abstraction.
+    """
+    from avoid_mpc_tpu.sim.rotor import RotorParams, RotorState, mix_quadx, rotor_step
+
+    if rp is None:
+        rp = RotorParams.default(dtype=s.body.p.dtype)
+    h = dt / p.substeps
+    thrust_signal = jnp.clip(thrust_signal, 0.0, 1.0)
+
+    def sub(carry, _):
+        b, rs = carry
+        u, angle_int, rate_int = _cascade_u(b, q_des, h, p)
+        motors = mix_quadx(thrust_signal, u[0], u[1], u[2], rp)
+        rs, force_b, torque = rotor_step(rs, motors, h, rp)
+
+        R = quat_to_rotmat(b.q)
+        thrust_force = R @ force_b
+        drag = -p.drag_c * jnp.linalg.norm(b.v) * b.v
+        gravity = jnp.asarray([0.0, 0.0, -GRAVITY], dtype=b.p.dtype)
+
+        # ground lock on the *delivered* (filtered) collective force
+        lift_off = force_b[2] >= p.mass * GRAVITY
+        grounded = b.grounded & ~lift_off
+
+        a_new = jnp.where(
+            grounded, jnp.zeros(3, dtype=b.p.dtype),
+            (thrust_force + drag) / p.mass + gravity,
+        )
+        avg_w = b.w + b.a_ang * (0.5 * h)
+        L = p.inertia * avg_w
+        a_ang_new = jnp.where(
+            grounded, jnp.zeros(3, dtype=b.p.dtype),
+            (torque - jnp.cross(avg_w, L)) / p.inertia,
+        )
+
+        avg_lin = b.v + b.a_lin * (0.5 * h)
+        v_new = jnp.where(grounded, jnp.zeros(3, dtype=b.p.dtype), b.v + (b.a_lin + a_new) * (0.5 * h))
+        w_new = jnp.where(grounded, jnp.zeros(3, dtype=b.p.dtype), b.w + (b.a_ang + a_ang_new) * (0.5 * h))
+        p_new = b.p + avg_lin * h
+        q_new = quat_integrate(b.q, avg_w * jnp.where(grounded, 0.0, 1.0), h)
+
+        below = p_new[2] < 0.0
+        p_new = p_new.at[2].set(jnp.maximum(p_new[2], 0.0))
+        v_new = jnp.where(below, v_new.at[2].set(jnp.maximum(v_new[2], 0.0)), v_new)
+
+        return (
+            SixDofState(
+                p=p_new, q=q_new, v=v_new, w=w_new,
+                a_lin=a_new, a_ang=a_ang_new,
+                angle_int=angle_int, rate_int=rate_int,
+                grounded=grounded,
+            ),
+            rs,
+        ), None
+
+    (b, rs), _ = jax.lax.scan(sub, (s.body, s.rotors), None, length=p.substeps)
+    return SixDofRotorState(body=b, rotors=rs)
 
 
 def sixdof_to_mpc_state(s: SixDofState) -> jax.Array:
