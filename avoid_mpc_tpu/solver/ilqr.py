@@ -306,7 +306,17 @@ def _backward_dispatch(us, Ad, Bd, cx, cxx, lu, luu, reg, sp: SolverParams, hp: 
     # lowering cannot handle.
     @jax.custom_batching.custom_vmap
     def bw(us, cx, cxx, lu, reg, Ad_, Bd_, luu_, lo, hi):
-        return _backward(us, Ad_, Bd_, cx, cxx, lu, luu_, reg, sp, hp)
+        # Unbatched on TPU: still run the fused kernel, with a singleton
+        # batch axis.  The XLA scan at B=1 serializes ~600 tiny stage ops
+        # and measured ~200 ms per closed-loop tick (single-robot probe);
+        # the kernel path at B=1 is ~2 ms.  The per-scenario `_backward`
+        # remains the semantic oracle on CPU (tests force platform=cpu).
+        out = riccati_backward_batched(
+            Ad_, Bd_, luu_, lo, hi,
+            cx[None], cxx[None], lu[None], us[None], reg[None],
+            bq_iters=hp.boxqp_iters,
+        )
+        return jax.tree.map(lambda a: a[0], out)
 
     @bw.def_vmap
     def _bw_vmap(axis_size, in_batched, us, cx, cxx, lu, reg, Ad_, Bd_, luu_, lo, hi):
@@ -453,8 +463,16 @@ def _solve_impl(
         @jax.custom_batching.custom_vmap
         def ls(us, xs, k_ff, K, dV1, dV2, cost, x0, ref, obstacles, target,
                Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg):
-            prob = MPCProblem(x0=x0, ref=ref, obstacles=obstacles, target=target)
-            return line_search_xla_for(prob, us, xs, k_ff, K, dV1, dV2, cost)
+            # Unbatched on TPU: fused kernel with a singleton batch axis
+            # (see _backward_dispatch — the B=1 XLA scan path costs ~100x).
+            out = line_search_batched(
+                Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad,
+                x0[None], us[None], xs[None], k_ff[None], K[None],
+                ref[None], obstacles[None], target[None],
+                dV1[None], dV2[None], cost[None],
+                n_alphas=hp.n_alphas, lam_omni=lamo, margin_v=marg,
+            )
+            return jax.tree.map(lambda a: a[0], out)
 
         @ls.def_vmap
         def _ls_vmap(axis_size, in_batched, us, xs, k_ff, K, dV1, dV2, cost,
