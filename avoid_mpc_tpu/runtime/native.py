@@ -209,7 +209,9 @@ class MavlinkCodec:
     transport core (the MavLinkCom role in the reference)."""
 
     SET_ATTITUDE_TARGET = 82
-    _CRC_EXTRA = {82: 49, 0: 50}  # SET_ATTITUDE_TARGET, HEARTBEAT
+    HEARTBEAT = 0
+    COMMAND_LONG = 76
+    _CRC_EXTRA = {82: 49, 0: 50, 76: 152}
 
     def __init__(self):
         self._lib = _load()
@@ -227,6 +229,19 @@ class MavlinkCodec:
                 ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_uint8,
                 ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
                 ctypes.c_uint8, ctypes.c_char_p,
+            ]
+            lib.mavlink2_pack_heartbeat.restype = ctypes.c_int
+            lib.mavlink2_pack_heartbeat.argtypes = [
+                ctypes.c_uint32, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_char_p,
+            ]
+            lib.mavlink2_pack_command_long.restype = ctypes.c_int
+            lib.mavlink2_pack_command_long.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_uint16,
+                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.c_char_p,
             ]
             lib.mavlink_parser_create.restype = ctypes.c_void_p
             lib.mavlink_parser_destroy.argtypes = [ctypes.c_void_p]
@@ -250,6 +265,35 @@ class MavlinkCodec:
             int(time_boot_ms), qf, float(roll_rate), float(pitch_rate),
             float(yaw_rate), float(thrust), target_system, target_component,
             type_mask, self._seq & 0xFF, 255, 0, out,
+        )
+        self._seq += 1
+        return out.raw[:n]
+
+    def pack_heartbeat(
+        self, custom_mode=0, type_=2, autopilot=12, base_mode=0,
+        system_status=4,
+    ) -> bytes:
+        """HEARTBEAT (#0): type 2 = MAV_TYPE_QUADROTOR, autopilot 12 =
+        MAV_AUTOPILOT_PX4, system_status 4 = MAV_STATE_ACTIVE."""
+        out = ctypes.create_string_buffer(64)
+        n = self._lib.mavlink2_pack_heartbeat(
+            int(custom_mode), type_, autopilot, base_mode, system_status,
+            self._seq & 0xFF, 255, 0, out,
+        )
+        self._seq += 1
+        return out.raw[:n]
+
+    def pack_command_long(
+        self, command, params=(), target_system=1, target_component=1,
+        confirmation=0,
+    ) -> bytes:
+        """COMMAND_LONG (#76): e.g. command 400 = ARM_DISARM (param1 1/0),
+        22 = NAV_TAKEOFF — the arming/mode surface of MavLinkVehicle."""
+        p7 = (ctypes.c_float * 7)(*([float(v) for v in params] + [0.0] * 7)[:7])
+        out = ctypes.create_string_buffer(64)
+        n = self._lib.mavlink2_pack_command_long(
+            p7, int(command), target_system, target_component, confirmation,
+            self._seq & 0xFF, 255, 0, out,
         )
         self._seq += 1
         return out.raw[:n]

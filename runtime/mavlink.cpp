@@ -137,4 +137,42 @@ int mavlink2_pack_set_attitude_target(
                          /*crc_extra=*/49, out);
 }
 
+// HEARTBEAT (#0), CRC_EXTRA = 50 — the liveness beacon every MAVLink
+// endpoint emits at 1 Hz; its absence is the link-loss failsafe trigger
+// (the role MavLinkConnection's heartbeat thread plays in the reference's
+// MavLinkCom). Field order per spec: custom_mode u32, type u8, autopilot
+// u8, base_mode u8, system_status u8, mavlink_version u8 -> 9 bytes.
+int mavlink2_pack_heartbeat(uint32_t custom_mode, uint8_t type,
+                            uint8_t autopilot, uint8_t base_mode,
+                            uint8_t system_status, uint8_t seq, uint8_t sysid,
+                            uint8_t compid, uint8_t* out) {
+    uint8_t payload[9];
+    std::memcpy(payload + 0, &custom_mode, 4);
+    payload[4] = type;
+    payload[5] = autopilot;
+    payload[6] = base_mode;
+    payload[7] = system_status;
+    payload[8] = 3;  // MAVLINK_VERSION
+    return mavlink2_pack(0, payload, sizeof(payload), seq, sysid, compid,
+                         /*crc_extra=*/50, out);
+}
+
+// COMMAND_LONG (#76), CRC_EXTRA = 152 — arm/disarm, mode changes, takeoff
+// (MAV_CMD_COMPONENT_ARM_DISARM etc.; what MavLinkVehicle::armDisarm and
+// friends send). Field order: param1..param7 f32, command u16,
+// target_system u8, target_component u8, confirmation u8 -> 33 bytes.
+int mavlink2_pack_command_long(const float params7[7], uint16_t command,
+                               uint8_t target_system, uint8_t target_component,
+                               uint8_t confirmation, uint8_t seq, uint8_t sysid,
+                               uint8_t compid, uint8_t* out) {
+    uint8_t payload[33];
+    std::memcpy(payload + 0, params7, 28);
+    std::memcpy(payload + 28, &command, 2);
+    payload[30] = target_system;
+    payload[31] = target_component;
+    payload[32] = confirmation;
+    return mavlink2_pack(76, payload, sizeof(payload), seq, sysid, compid,
+                         /*crc_extra=*/152, out);
+}
+
 }  // extern "C"

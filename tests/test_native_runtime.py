@@ -126,3 +126,44 @@ def test_mavlink_stream_with_garbage():
     parser = MavlinkCodec()
     frames = parser.parse(stream)
     assert len(frames) == 2
+
+
+def test_mavlink_heartbeat_roundtrip():
+    """HEARTBEAT (#0) with the PX4-quadrotor identity fields — the 1 Hz
+    liveness beacon (MavLinkConnection's heartbeat role)."""
+    import struct
+
+    from avoid_mpc_tpu.runtime import MavlinkCodec
+
+    codec = MavlinkCodec()
+    frame = codec.pack_heartbeat(custom_mode=0x60000, base_mode=0x80)
+    parser = MavlinkCodec()
+    frames = parser.parse(frame, msgid_expected=MavlinkCodec.HEARTBEAT)
+    assert len(frames) == 1
+    msgid, payload = frames[0]
+    assert msgid == MavlinkCodec.HEARTBEAT
+    payload = payload + b"\x00" * (9 - len(payload))
+    custom_mode, type_, autopilot, base_mode, status, ver = struct.unpack(
+        "<IBBBBB", payload
+    )
+    assert custom_mode == 0x60000
+    assert (type_, autopilot, base_mode, status, ver) == (2, 12, 0x80, 4, 3)
+
+
+def test_mavlink_command_long_roundtrip():
+    """COMMAND_LONG (#76): ARM (MAV_CMD_COMPONENT_ARM_DISARM=400, param1=1)."""
+    import struct
+
+    from avoid_mpc_tpu.runtime import MavlinkCodec
+
+    codec = MavlinkCodec()
+    frame = codec.pack_command_long(400, params=[1.0])
+    parser = MavlinkCodec()
+    frames = parser.parse(frame, msgid_expected=MavlinkCodec.COMMAND_LONG)
+    assert len(frames) == 1
+    msgid, payload = frames[0]
+    assert msgid == MavlinkCodec.COMMAND_LONG
+    payload = payload + b"\x00" * (33 - len(payload))
+    vals = struct.unpack("<7fHBBB", payload)
+    assert vals[0] == 1.0 and all(v == 0 for v in vals[1:7])
+    assert vals[7] == 400 and vals[8] == 1 and vals[9] == 1 and vals[10] == 0
