@@ -78,7 +78,15 @@ inline void load_slot(uint8_t* dst, const std::atomic<uint64_t>* src, size_t n) 
 
 // Seqlock-validated read of slot `slot` into (data, stamp). Returns false if
 // the producer wrote the slot concurrently (copy was potentially torn).
-bool read_slot(FrameRing* r, size_t slot, uint8_t* data, double* stamp) {
+// On success *ver_out is the slot version the copy was taken under — the
+// caller must check it against expected_ver(seq): a consistent read is NOT
+// enough, because the producer may have fully lapped the slot between the
+// caller loading tail/head and the copy, leaving a stable frame from a
+// LATER generation (seq + k*capacity) in place. Returning that frame for
+// sequence `seq` breaks FIFO order (found by stress.cpp's monotonicity
+// check under ASAN load).
+bool read_slot(FrameRing* r, size_t slot, uint8_t* data, double* stamp,
+               uint64_t* ver_out) {
     uint64_t v1 = r->ver[slot].load(std::memory_order_acquire);
     if (v1 & 1) return false;  // write in progress
     load_slot(data, &r->words[slot * r->words_per_slot], r->slot_bytes);
@@ -87,7 +95,15 @@ bool read_slot(FrameRing* r, size_t slot, uint8_t* data, double* stamp) {
     uint64_t v2 = r->ver[slot].load(std::memory_order_relaxed);
     if (v1 != v2) return false;  // overwritten mid-read
     *stamp = bits_to_stamp(sb);
+    *ver_out = v1;
     return true;
+}
+
+// Slot version after the write of sequence number `seq` (versions start at 0
+// and advance by 2 per publish; slot = seq % capacity receives its
+// (seq/capacity + 1)-th write).
+inline uint64_t expected_ver(const FrameRing* r, uint64_t seq) {
+    return 2 * (seq / r->capacity) + 2;
 }
 
 }  // namespace
@@ -141,9 +157,11 @@ int frame_ring_pop(void* ring, uint8_t* data, double* stamp) {
         uint64_t head = r->head.load(std::memory_order_acquire);
         if (tail >= head) return 0;
         size_t slot = tail % r->capacity;
-        bool ok = read_slot(r, slot, data, stamp);
-        if (!ok) {
-            // producer lapped this slot: the frame at `tail` is gone; let the
+        uint64_t v = 0;
+        bool ok = read_slot(r, slot, data, stamp, &v);
+        if (!ok || v != expected_ver(r, tail)) {
+            // producer lapped this slot (mid-write, or a stable frame from a
+            // later generation): the frame at `tail` is gone; let the
             // producer's CAS (or ours) skip it and retry on a newer frame
             r->tail.compare_exchange_strong(tail, tail + 1,
                                             std::memory_order_acq_rel);
@@ -166,8 +184,10 @@ int frame_ring_pop_latest(void* ring, uint8_t* data, double* stamp) {
         uint64_t tail = r->tail.load(std::memory_order_relaxed);
         if (tail >= head) return 0;
         uint64_t newest = head - 1;
-        if (!read_slot(r, newest % r->capacity, data, stamp))
-            continue;  // producer is mid-write on a newer frame; retry
+        uint64_t v = 0;
+        if (!read_slot(r, newest % r->capacity, data, stamp, &v) ||
+            v != expected_ver(r, newest))
+            continue;  // producer lapped `newest`; reload head and retry
         if (r->tail.compare_exchange_strong(tail, head,
                                             std::memory_order_acq_rel))
             return 1;

@@ -167,3 +167,25 @@ def test_mavlink_command_long_roundtrip():
     vals = struct.unpack("<7fHBBB", payload)
     assert vals[0] == 1.0 and all(v == 0 for v in vals[1:7])
     assert vals[7] == 400 and vals[8] == 1 and vals[9] == 1 and vals[10] == 0
+
+
+def test_sanitizer_stress_harness():
+    """Race-detection CI (SURVEY §5): build + run the ASAN/UBSAN and TSAN
+    stress binaries (`make -C runtime sanitize`) — concurrent frame-ring
+    producers/consumers, parallel KD-tree queries, scheduler threads, and a
+    noisy MAVLink decode loop. Any data race, leak, or UB fails the make."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    runtime_dir = Path(__file__).resolve().parents[1] / "runtime"
+    proc = subprocess.run(
+        ["make", "-C", str(runtime_dir), "sanitize"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "all stress checks passed" in proc.stdout + proc.stderr
