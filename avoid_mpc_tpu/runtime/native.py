@@ -211,7 +211,9 @@ class MavlinkCodec:
     SET_ATTITUDE_TARGET = 82
     HEARTBEAT = 0
     COMMAND_LONG = 76
-    _CRC_EXTRA = {82: 49, 0: 50, 76: 152}
+    PARAM_VALUE = 22
+    PARAM_SET = 23
+    _CRC_EXTRA = {82: 49, 0: 50, 76: 152, 23: 168, 22: 220}
 
     def __init__(self):
         self._lib = _load()
@@ -242,6 +244,18 @@ class MavlinkCodec:
                 ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
                 ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
                 ctypes.c_char_p,
+            ]
+            lib.mavlink2_pack_param_set.restype = ctypes.c_int
+            lib.mavlink2_pack_param_set.argtypes = [
+                ctypes.c_float, ctypes.c_char_p, ctypes.c_uint8,
+                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_char_p,
+            ]
+            lib.mavlink2_pack_param_value.restype = ctypes.c_int
+            lib.mavlink2_pack_param_value.argtypes = [
+                ctypes.c_float, ctypes.c_uint16, ctypes.c_uint16,
+                ctypes.c_char_p, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_char_p,
             ]
             lib.mavlink_parser_create.restype = ctypes.c_void_p
             lib.mavlink_parser_destroy.argtypes = [ctypes.c_void_p]
@@ -294,6 +308,35 @@ class MavlinkCodec:
         n = self._lib.mavlink2_pack_command_long(
             p7, int(command), target_system, target_component, confirmation,
             self._seq & 0xFF, 255, 0, out,
+        )
+        self._seq += 1
+        return out.raw[:n]
+
+    def pack_param_set(
+        self, param_id: str, value: float, param_type=9,
+        target_system=1, target_component=1,
+    ) -> bytes:
+        """PARAM_SET (#23): write an onboard parameter. param_type 9 =
+        MAV_PARAM_TYPE_REAL32 (the only type PX4-style stacks use on the
+        wire). The reference's MavLinkParameter setter role."""
+        out = ctypes.create_string_buffer(64)
+        n = self._lib.mavlink2_pack_param_set(
+            float(value), param_id.encode()[:16], param_type,
+            target_system, target_component, self._seq & 0xFF, 255, 0, out,
+        )
+        self._seq += 1
+        return out.raw[:n]
+
+    def pack_param_value(
+        self, param_id: str, value: float, param_count=1, param_index=0,
+        param_type=9,
+    ) -> bytes:
+        """PARAM_VALUE (#22): the vehicle-side parameter reply/broadcast
+        (PARAM_SET ack, param read response)."""
+        out = ctypes.create_string_buffer(64)
+        n = self._lib.mavlink2_pack_param_value(
+            float(value), param_count, param_index, param_id.encode()[:16],
+            param_type, self._seq & 0xFF, 1, 1, out,
         )
         self._seq += 1
         return out.raw[:n]

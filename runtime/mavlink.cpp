@@ -175,4 +175,42 @@ int mavlink2_pack_command_long(const float params7[7], uint16_t command,
                          /*crc_extra=*/152, out);
 }
 
+// PARAM_SET (#23), CRC_EXTRA = 168 — write one onboard parameter (the
+// MavLinkParameter setter surface in the reference's MavLinkCom; bfctrl
+// gains and hover_percentage travel this way on a real vehicle). Wire
+// order (size-sorted): param_value f32, target_system u8,
+// target_component u8, param_id char[16] (NUL-padded), param_type u8
+// -> 23 bytes.
+int mavlink2_pack_param_set(float param_value, const char* param_id,
+                            uint8_t param_type, uint8_t target_system,
+                            uint8_t target_component, uint8_t seq,
+                            uint8_t sysid, uint8_t compid, uint8_t* out) {
+    uint8_t payload[23] = {0};
+    std::memcpy(payload + 0, &param_value, 4);
+    payload[4] = target_system;
+    payload[5] = target_component;
+    std::strncpy(reinterpret_cast<char*>(payload + 6), param_id, 16);
+    payload[22] = param_type;
+    return mavlink2_pack(23, payload, sizeof(payload), seq, sysid, compid,
+                         /*crc_extra=*/168, out);
+}
+
+// PARAM_VALUE (#22), CRC_EXTRA = 220 — the vehicle's reply/broadcast for a
+// parameter (what param reads and PARAM_SET acks come back as). Wire order:
+// param_value f32, param_count u16, param_index u16, param_id char[16],
+// param_type u8 -> 25 bytes.
+int mavlink2_pack_param_value(float param_value, uint16_t param_count,
+                              uint16_t param_index, const char* param_id,
+                              uint8_t param_type, uint8_t seq, uint8_t sysid,
+                              uint8_t compid, uint8_t* out) {
+    uint8_t payload[25] = {0};
+    std::memcpy(payload + 0, &param_value, 4);
+    std::memcpy(payload + 4, &param_count, 2);
+    std::memcpy(payload + 6, &param_index, 2);
+    std::strncpy(reinterpret_cast<char*>(payload + 8), param_id, 16);
+    payload[24] = param_type;
+    return mavlink2_pack(22, payload, sizeof(payload), seq, sysid, compid,
+                         /*crc_extra=*/220, out);
+}
+
 }  // extern "C"

@@ -189,3 +189,32 @@ def test_sanitizer_stress_harness():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "all stress checks passed" in proc.stdout + proc.stderr
+
+
+def test_mavlink_param_roundtrip():
+    """PARAM_SET (#23) + PARAM_VALUE (#22): the onboard-parameter protocol
+    (MavLinkParameter read/write surface — e.g. hover_percentage tuning)."""
+    import struct
+
+    from avoid_mpc_tpu.runtime import MavlinkCodec
+
+    codec = MavlinkCodec()
+    fset = codec.pack_param_set("MPC_XY_VEL_MAX", 12.0)
+    fval = codec.pack_param_value("MPC_XY_VEL_MAX", 12.0, param_count=3, param_index=2)
+
+    parser = MavlinkCodec()
+    frames = parser.parse(fset, msgid_expected=MavlinkCodec.PARAM_SET)
+    assert len(frames) == 1 and frames[0][0] == MavlinkCodec.PARAM_SET
+    payload = frames[0][1]
+    payload = payload + b"\x00" * (23 - len(payload))
+    value, tsys, tcomp = struct.unpack("<fBB", payload[:6])
+    pid = payload[6:22].rstrip(b"\x00").decode()
+    assert (value, tsys, tcomp, pid, payload[22]) == (12.0, 1, 1, "MPC_XY_VEL_MAX", 9)
+
+    frames = parser.parse(fval, msgid_expected=MavlinkCodec.PARAM_VALUE)
+    assert len(frames) == 1 and frames[0][0] == MavlinkCodec.PARAM_VALUE
+    payload = frames[0][1]
+    payload = payload + b"\x00" * (25 - len(payload))
+    value, count, index = struct.unpack("<fHH", payload[:8])
+    pid = payload[8:24].rstrip(b"\x00").decode()
+    assert (value, count, index, pid, payload[24]) == (12.0, 3, 2, "MPC_XY_VEL_MAX", 9)
