@@ -80,7 +80,10 @@ class EngineParams(NamedTuple):
     # Time-to-collision slow-down trigger (s); <= 0 disables (reference
     # triggers on instantaneous 1-NN distance only).  Round-2 extension for
     # the tangential-pass failure mode (PARITY.md "Known quantitative gaps").
-    ttc_threshold: jax.Array = 0.0
+    # Only consulted when EngineHyper.use_ttc is set (trace-time gate, so the
+    # shipped default pays no 1-NN map query); float default matches the
+    # sibling fields only via from_config — annotated honestly (ADVICE r2).
+    ttc_threshold: jax.Array | float = 0.0
 
     @staticmethod
     def from_config(cfg: EngineConfig, dtype=jnp.float32) -> "EngineParams":
@@ -107,6 +110,11 @@ class EngineHyper(NamedTuple):
     task_mode: int  # TASK_FORWARD | TASK_GLOBAL_GOAL
     solver: SolverHyper
     solver_fast: SolverHyper
+    # Trace-time gate for the TTC slow-down trigger: when False (the shipped
+    # default, ttc_threshold = 0) the engine tick emits NO extra full-map
+    # 1-NN query — the disabled feature costs nothing (ADVICE r2).  Enabling
+    # recompiles, matching how the other shape knobs work.
+    use_ttc: bool = False
 
     @staticmethod
     def from_config(cfg: EngineConfig) -> "EngineHyper":
@@ -118,6 +126,7 @@ class EngineHyper(NamedTuple):
             task_mode=TASK_GLOBAL_GOAL if cfg.task.task == "global_goal" else TASK_FORWARD,
             solver=SolverHyper.from_config(m, fast=False),
             solver_fast=SolverHyper.from_config(m, fast=True),
+            use_ttc=m.ttc_threshold > 0.0,
         )
 
 
@@ -301,18 +310,20 @@ def receding_step(
     # time-to-collision toward the current 1-NN obstacle below threshold
     # forces the PD fallback even when a "safe" plan exists — covering the
     # tangential-pass geometry the |v.dir|-gated barrier is blind to.
-    d1, pt1 = map_query(rolling_map, pos[None, :], k=1, edge=False)
-    vec = pt1[0, 0] - pos
-    dist1 = jnp.maximum(d1[0, 0], 1e-6)
-    closing = jnp.dot(quad_state[4:7], vec / dist1)
-    ttc = (dist1 - p.sp.cost.drone_radius) / jnp.maximum(closing, 1e-3)
-    ttc_trigger = (
-        (p.ttc_threshold > 0.0)
-        & (closing > 0.0)
-        & jnp.isfinite(dist1)
-        & (ttc < p.ttc_threshold)
-    )
-    is_safety = is_safety & ~ttc_trigger
+    # Static gate: disabled builds emit no map query at all (ADVICE r2).
+    if h.use_ttc:
+        d1, pt1 = map_query(rolling_map, pos[None, :], k=1, edge=False)
+        vec = pt1[0, 0] - pos
+        dist1 = jnp.maximum(d1[0, 0], 1e-6)
+        closing = jnp.dot(quad_state[4:7], vec / dist1)
+        ttc = (dist1 - p.sp.cost.drone_radius) / jnp.maximum(closing, 1e-3)
+        ttc_trigger = (
+            (p.ttc_threshold > 0.0)
+            & (closing > 0.0)
+            & jnp.isfinite(dist1)
+            & (ttc < p.ttc_threshold)
+        )
+        is_safety = is_safety & ~ttc_trigger
 
     u_mpc = us_warm[0]
     u_slow = _slow_down_cmd(quad_state, p)

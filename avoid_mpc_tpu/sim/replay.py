@@ -61,7 +61,7 @@ def record_flight(
     ws = world_init(cfg, params, hyper, start, key, dtype=dtype)
 
     def step(ws, _):
-        ws, diag, depth, Twb, x_pred = world_step_full(ws, field, params, hyper)
+        ws, diag, depth, Twb, x_pred, _aux = world_step_full(ws, field, params, hyper)
         return ws, FlightLog(
             depth=depth, Twb=Twb, x_pred=x_pred, mission=diag.mission,
             u_cmd=diag.u_cmd, p=diag.p, v=diag.v,

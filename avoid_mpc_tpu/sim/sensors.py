@@ -136,6 +136,71 @@ def render_depth(
     return depth
 
 
+class CameraRig(NamedTuple):
+    """Extrinsics of the declared non-front camera streams.
+
+    The reference bridge publishes three image loops: RGBD (front_center),
+    stereo (front_left/front_right) and bottom (bottom_center)
+    (``airsim_ros_wrapper.cpp:1129-1231``); their mounting poses come from
+    the AirSim ``settings.json`` (not in-repo).  Defaults: a symmetric
+    stereo pair of ``baseline`` meters about the front camera, and a nadir
+    bottom camera (image-right = body-right, z looking straight down).
+    """
+
+    T_b_left: jax.Array  # (4,4) body->front_left camera
+    T_b_right: jax.Array  # (4,4) body->front_right camera
+    T_b_bottom: jax.Array  # (4,4) body->bottom_center camera
+
+    @staticmethod
+    def default(Tbc, baseline: float = 0.1, dtype=jnp.float32) -> "CameraRig":
+        Tbc = jnp.asarray(Tbc, dtype=dtype)
+        # front camera's image-right axis is -y_body (Tbc col 0), so the
+        # LEFT camera sits at +y_body (body y points left)
+        left = Tbc.at[1, 3].add(0.5 * baseline)
+        right = Tbc.at[1, 3].add(-0.5 * baseline)
+        # nadir: x_cam (image right) = -y_body = body-right,
+        # y_cam (image down) = -x_body, z_cam (view) = -z_body (down);
+        # right-handed (x cross y = z), mounted 3 cm below the body origin
+        bottom = jnp.asarray(
+            [
+                [0.0, -1.0, 0.0, 0.0],
+                [-1.0, 0.0, 0.0, 0.0],
+                [0.0, 0.0, -1.0, -0.03],
+                [0.0, 0.0, 0.0, 1.0],
+            ],
+            dtype=dtype,
+        )
+        return CameraRig(T_b_left=left, T_b_right=right, T_b_bottom=bottom)
+
+
+class RigCapture(NamedTuple):
+    """Depth frames of the stereo + bottom streams for one tick."""
+
+    left: jax.Array  # (h, w)
+    right: jax.Array  # (h, w)
+    bottom: jax.Array  # (h, w)
+
+
+def render_rig(
+    Twb: jax.Array,
+    rig: CameraRig,
+    field: ObstacleField,
+    pcfg: PerceptionConfig,
+    height: int | None = None,
+    width: int | None = None,
+    key: jax.Array | None = None,
+) -> RigCapture:
+    """Render the stereo pair + bottom camera (planar depth, same camera
+    model and noise treatment as the front stream) — the remaining declared
+    sensor surface of the bridge (``airsim_ros_wrapper.cpp:1170-1231``)."""
+    keys = (None, None, None) if key is None else tuple(jax.random.split(key, 3))
+    frames = [
+        render_depth(Twb @ T, field, pcfg, height, width, key=k)
+        for T, k in zip((rig.T_b_left, rig.T_b_right, rig.T_b_bottom), keys)
+    ]
+    return RigCapture(*frames)
+
+
 class ImuParams(NamedTuple):
     accel_noise: jax.Array  # white noise sigma [m/s^2]
     gyro_noise: jax.Array  # [rad/s]

@@ -62,7 +62,12 @@ from avoid_mpc_tpu.sim.plant import (
     sixdof_step,
     sixdof_to_mpc_state,
 )
-from avoid_mpc_tpu.sim.sensors import ObstacleField, render_depth
+from avoid_mpc_tpu.sim.sensors import (
+    CameraRig,
+    ObstacleField,
+    render_depth,
+    render_rig,
+)
 
 # Mission FSM (AvoidanceStateMachine.h:19-25)
 MISSION_INIT = 0
@@ -84,6 +89,9 @@ class WorldParams(NamedTuple):
     depth_min: jax.Array
     dedupe_dist: jax.Array
     dedupe_count: jax.Array
+    # stereo + bottom camera extrinsics (airsim_ros_wrapper.cpp:1170-1231);
+    # rendered only when WorldHyper.capture_stereo_bottom is set
+    rig: CameraRig
 
 
 class WorldHyper(NamedTuple):
@@ -105,6 +113,11 @@ class WorldHyper(NamedTuple):
     # current depth frame is queryable (FrameKDMap.cpp:29).  The engine then
     # plans in a drone-local frame.
     only_trust_vel: bool = False
+    # Also render the stereo pair + bottom camera each tick and return them
+    # on the capture surface (the bridge's remaining declared image streams,
+    # airsim_ros_wrapper.cpp:1170-1231).  Off by default: the avoidance
+    # pipeline consumes only front depth, so the flagship loop pays nothing.
+    capture_stereo_bottom: bool = False
 
 
 def build_world(
@@ -158,6 +171,7 @@ def build_world(
         depth_min=jnp.asarray(p.depth_min, dtype=dtype),
         dedupe_dist=jnp.asarray(p.keyframe_dist_threshold, dtype=dtype),
         dedupe_count=jnp.asarray(p.keyframe_count_threshold, jnp.int32),
+        rig=CameraRig.default(p.Tbc, dtype=dtype),
     )
     hyper = WorldHyper(
         engine=EngineHyper.from_config(cfg),
@@ -229,7 +243,7 @@ def field_clearance(p: jax.Array, field: ObstacleField) -> jax.Array:
 def world_step(
     ws: WorldState, field: ObstacleField, params: WorldParams, hyper: WorldHyper
 ) -> tuple[WorldState, WorldDiag]:
-    ws, diag, _depth, _Twb, _x_pred = world_step_full(ws, field, params, hyper)
+    ws, diag, *_ = world_step_full(ws, field, params, hyper)
     return ws, diag
 
 
@@ -271,6 +285,14 @@ def world_step_full(
         Twc, field, hyper.pcfg, hyper.render_h, hyper.render_w,
         key=k_noise if hyper.use_depth_noise else None,
     )
+    # stereo + bottom streams (static gate; key folded so the front-stream
+    # noise sequence is identical with the gate on or off)
+    aux = None
+    if hyper.capture_stereo_bottom:
+        aux = render_rig(
+            Twb, params.rig, field, hyper.pcfg, hyper.render_h, hyper.render_w,
+            key=jax.random.fold_in(k_noise, 1) if hyper.use_depth_noise else None,
+        )
     if hyper.only_trust_vel:
         # Drone-local planning frame: odom position is zeroed every message
         # and integrated from velocity until the next one — one tick's worth
@@ -364,6 +386,7 @@ def world_step_full(
         depth,
         Twb,
         x_pred,
+        aux,
     )
 
 

@@ -93,6 +93,12 @@ def main(argv=None):
         cfg0, render_scale=args.render_scale, grid_scale=args.grid_scale,
         map_frames=args.map_frames,
     )
+    if any(CONFIGS[n][2] > 0.0 for n in names):
+        # ttc_threshold is a runtime knob here, but the TTC map query is a
+        # trace-time gate (EngineHyper.use_ttc): compile it in whenever any
+        # swept config needs it — the runtime (threshold > 0) check keeps
+        # the semantics identical for the ttc=0 configs.
+        hyper = hyper._replace(engine=hyper.engine._replace(use_ttc=True))
 
     keys = jax.random.split(jax.random.PRNGKey(args.seed), args.batch)
     scfg = ScenarioConfig(n_cylinders=args.trees)

@@ -67,8 +67,15 @@ def softplus(z):
     return np.logaddexp(0.0, z)
 
 
-def stage_costs(xs, us, ref, obstacles, target, q_goal, q_path, q_u, lam, radius):
-    """Total cost, reference loop semantics (tools/mpc_obstacle_casadi.py:158-220)."""
+def stage_costs(xs, us, ref, obstacles, target, q_goal, q_path, q_u, lam, radius,
+                abs_smoothing=1e-8):
+    """Total cost, reference loop semantics (tools/mpc_obstacle_casadi.py:158-220).
+
+    ``abs_smoothing``: the |v.dir| smoothing eps.  The default matches
+    ``avoid_mpc_tpu.models.costs.ABS_SMOOTHING``; pass 0.0 for the EXACT
+    nonsmooth reference objective (ca.norm_2 of a scalar, :197-199) — used
+    to verify the smoothed optimum against the unsmoothed NLP
+    (VERDICT r2 "oracle circularity")."""
     n = len(us)
     total = 0.0
     for k in range(n):
@@ -89,9 +96,8 @@ def stage_costs(xs, us, ref, obstacles, target, q_goal, q_path, q_u, lam, radius
             for o in obstacles[k]:
                 vec = o - xk1[0:3]
                 dist = np.linalg.norm(vec)
-                # smoothed |.| matching avoid_mpc_tpu.models.costs.ABS_SMOOTHING
                 z = xk1[4:7] @ (vec / dist)
-                vproj = np.sqrt(z * z + 1e-8)
+                vproj = np.sqrt(z * z + abs_smoothing) if abs_smoothing else abs(z)
                 total += lam * softplus(-32.0 * (dist - radius)) * vproj
     return total
 
@@ -114,6 +120,7 @@ def solve_nlp_slsqp(
     u_init=None,
     maxiter=300,
     ftol=1e-10,
+    abs_smoothing=1e-8,
 ):
     """Golden NLP solve: single-shooting equivalent of the reference NLP.
 
@@ -132,7 +139,8 @@ def solve_nlp_slsqp(
     def cost(z):
         us = unpack(z)
         xs = rollout(x0, us, dt, tau)
-        return stage_costs(xs, us, ref, obstacles, target, q_goal, q_path, q_u, lam, radius)
+        return stage_costs(xs, us, ref, obstacles, target, q_goal, q_path, q_u,
+                           lam, radius, abs_smoothing=abs_smoothing)
 
     if u_init is None:
         u_init = np.tile(np.array([0.0, 0.0, G, 0.0]), (n, 1))

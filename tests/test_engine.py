@@ -229,7 +229,8 @@ def test_ttc_trigger_forces_slow_down():
     es = engine_init(CFG, dtype=DTYPE)
 
     p_on = P._replace(ttc_threshold=jnp.asarray(0.5, DTYPE))
-    _, out_on = receding_step(es, x, m, p_on, H)
+    h_on = H._replace(use_ttc=True)  # trace-time gate (ADVICE r2)
+    _, out_on = receding_step(es, x, m, p_on, h_on)
     assert not bool(out_on.is_safety)
     # the command is the PD slow-down formula, not the MPC control
     from avoid_mpc_tpu.engine.receding import _slow_down_cmd
@@ -240,12 +241,15 @@ def test_ttc_trigger_forces_slow_down():
 
     # receding obstacle (moving away) never triggers regardless of threshold
     x_away = hover_state().at[4].set(-5.0)
-    _, out_away = receding_step(es, x_away, m, p_on, H)
+    _, out_away = receding_step(es, x_away, m, p_on, h_on)
     assert bool(out_away.is_safety)
 
-    # disabled (0) -> same geometry stays nominal
-    _, out_off = receding_step(es, x, m, P, H)
+    # disabled threshold (0) with the query compiled in -> stays nominal
+    _, out_off = receding_step(es, x, m, P, h_on)
     assert bool(out_off.is_safety)
+    # shipped default: gate off entirely -> also nominal, no query emitted
+    _, out_gate = receding_step(es, x, m, P, H)
+    assert bool(out_gate.is_safety)
 
 
 def test_global_goal_task_steps_toward_goal():
