@@ -361,3 +361,144 @@ class MavlinkCodec:
         if getattr(self, "_parser", None):
             self._lib.mavlink_parser_destroy(self._parser)
             self._parser = None
+
+
+class MavConnection:
+    """Live MAVLink UDP endpoint (runtime/mavlink_conn.cpp): socket + receive
+    thread + typed vehicle-state latches + heartbeat watchdog + periodic
+    HEARTBEAT / SET_ATTITUDE_TARGET streams on the native scheduler.
+
+    The MavLinkConnection/MavLinkVehicle role of the reference's MavLinkCom
+    (MavLinkCom/src/MavLinkConnection.cpp, MavLinkVehicle.cpp), whose typed
+    state feed the bfctrl input adapter consumes
+    (betaflight_ctrl/src/input.cpp:15-104)."""
+
+    def __init__(self, local_port: int, remote_host: str, remote_port: int,
+                 sysid: int = 255, compid: int = 0):
+        self._lib = _load()
+        lib = self._lib
+        if not hasattr(lib, "_mavconn_bound"):
+            f32p = ctypes.POINTER(ctypes.c_float)
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            lib.mav_conn_create.restype = ctypes.c_void_p
+            lib.mav_conn_create.argtypes = [
+                ctypes.c_uint16, ctypes.c_char_p, ctypes.c_uint16,
+                ctypes.c_uint8, ctypes.c_uint8,
+            ]
+            lib.mav_conn_destroy.argtypes = [ctypes.c_void_p]
+            lib.mav_conn_send_heartbeat.argtypes = [ctypes.c_void_p]
+            lib.mav_conn_set_attitude_target.restype = ctypes.c_int
+            lib.mav_conn_set_attitude_target.argtypes = [
+                ctypes.c_void_p, f32p, f32p, ctypes.c_float, ctypes.c_uint8,
+                ctypes.c_int,
+            ]
+            lib.mav_conn_send_attitude.restype = ctypes.c_int
+            lib.mav_conn_send_attitude.argtypes = [
+                ctypes.c_void_p, ctypes.c_float, f32p, f32p,
+            ]
+            lib.mav_conn_send_local_position.restype = ctypes.c_int
+            lib.mav_conn_send_local_position.argtypes = [
+                ctypes.c_void_p, ctypes.c_float, f32p, f32p,
+            ]
+            lib.mav_conn_send_command_long.restype = ctypes.c_int
+            lib.mav_conn_send_command_long.argtypes = [
+                ctypes.c_void_p, f32p, ctypes.c_uint16, ctypes.c_uint8,
+                ctypes.c_uint8,
+            ]
+            lib.mav_conn_start_streams.argtypes = [
+                ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ]
+            lib.mav_conn_heartbeat_age.restype = ctypes.c_double
+            lib.mav_conn_heartbeat_age.argtypes = [ctypes.c_void_p]
+            lib.mav_conn_link_ok.restype = ctypes.c_int
+            lib.mav_conn_link_ok.argtypes = [ctypes.c_void_p, ctypes.c_double]
+            lib.mav_conn_stats.argtypes = [ctypes.c_void_p, u64p]
+            for name in ("mav_conn_attitude", "mav_conn_local_position",
+                         "mav_conn_attitude_target", "mav_conn_command_long"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [ctypes.c_void_p, f32p]
+            lib._mavconn_bound = True
+        self._ptr = lib.mav_conn_create(
+            local_port, remote_host.encode(), remote_port, sysid, compid
+        )
+        if not self._ptr:
+            raise OSError(f"mav_conn_create failed (port {local_port})")
+
+    def send_heartbeat(self):
+        self._lib.mav_conn_send_heartbeat(self._ptr)
+
+    def set_attitude_target(self, q, rates=(0.0, 0.0, 0.0), thrust=0.0,
+                            type_mask=0x07, send_now=True):
+        qf = (ctypes.c_float * 4)(*[float(v) for v in q])
+        rf = (ctypes.c_float * 3)(*[float(v) for v in rates])
+        self._lib.mav_conn_set_attitude_target(
+            self._ptr, qf, rf, float(thrust), type_mask, 1 if send_now else 0
+        )
+
+    def send_attitude(self, time_s, rpy, rates=(0.0, 0.0, 0.0)):
+        rf = (ctypes.c_float * 3)(*[float(v) for v in rpy])
+        vf = (ctypes.c_float * 3)(*[float(v) for v in rates])
+        return self._lib.mav_conn_send_attitude(self._ptr, float(time_s), rf, vf)
+
+    def send_local_position(self, time_s, xyz, vxyz=(0.0, 0.0, 0.0)):
+        pf = (ctypes.c_float * 3)(*[float(v) for v in xyz])
+        vf = (ctypes.c_float * 3)(*[float(v) for v in vxyz])
+        return self._lib.mav_conn_send_local_position(
+            self._ptr, float(time_s), pf, vf
+        )
+
+    def send_command_long(self, command, params=(), target_system=1,
+                          target_component=1):
+        p7 = (ctypes.c_float * 7)(*([float(v) for v in params] + [0.0] * 7)[:7])
+        return self._lib.mav_conn_send_command_long(
+            self._ptr, p7, int(command), target_system, target_component
+        )
+
+    def start_streams(self, hb_hz=1.0, att_hz=50.0):
+        """Reference rates: 1 Hz HEARTBEAT, 50 Hz offboard attitude stream."""
+        self._lib.mav_conn_start_streams(self._ptr, float(hb_hz), float(att_hz))
+
+    def heartbeat_age(self) -> float:
+        return float(self._lib.mav_conn_heartbeat_age(self._ptr))
+
+    def link_ok(self, timeout_s: float = 2.0) -> bool:
+        return bool(self._lib.mav_conn_link_ok(self._ptr, float(timeout_s)))
+
+    def stats(self) -> dict:
+        out = (ctypes.c_uint64 * 8)()
+        self._lib.mav_conn_stats(self._ptr, out)
+        keys = ("rx_frames", "crc_errors", "unknown", "heartbeats",
+                "attitudes", "local_positions", "attitude_targets",
+                "commands")
+        return dict(zip(keys, [int(v) for v in out]))
+
+    def _typed(self, name, n):
+        out = (ctypes.c_float * n)()
+        count = getattr(self._lib, name)(self._ptr, out)
+        return count, [float(v) for v in out]
+
+    def attitude(self):
+        """(count, [time_s, roll, pitch, yaw, p, q, r]) — latest ATTITUDE."""
+        return self._typed("mav_conn_attitude", 7)
+
+    def local_position(self):
+        """(count, [time_s, x, y, z, vx, vy, vz]) — latest LOCAL_POSITION_NED."""
+        return self._typed("mav_conn_local_position", 7)
+
+    def attitude_target(self):
+        """(count, [time_s, q0..q3, p, q, r, thrust, type_mask]) — latest
+        SET_ATTITUDE_TARGET received (vehicle role)."""
+        return self._typed("mav_conn_attitude_target", 10)
+
+    def command_long(self):
+        """(count, [param1..7, command]) — latest COMMAND_LONG received."""
+        return self._typed("mav_conn_command_long", 8)
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            self._lib.mav_conn_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.close()

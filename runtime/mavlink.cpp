@@ -115,6 +115,69 @@ int mavlink_parser_feed(void* pp, uint8_t byte, uint8_t crc_extra,
     return 0;
 }
 
+// CRC_EXTRA table for the message ids this runtime speaks (values from the
+// MAVLink common.xml message definitions).  Returns -1 for unknown ids.
+int mavlink_crc_extra_for(uint32_t msgid) {
+    switch (msgid) {
+        case 0: return 50;    // HEARTBEAT
+        case 22: return 220;  // PARAM_VALUE
+        case 23: return 168;  // PARAM_SET
+        case 30: return 39;   // ATTITUDE
+        case 32: return 185;  // LOCAL_POSITION_NED
+        case 76: return 152;  // COMMAND_LONG
+        case 82: return 49;   // SET_ATTITUDE_TARGET
+        default: return -1;
+    }
+}
+
+// Like mavlink_parser_feed, but looks the CRC_EXTRA up from the parsed
+// header's msgid — the form a mixed-message receive stream needs (a vehicle
+// link interleaves HEARTBEAT/ATTITUDE/LOCAL_POSITION_NED).  Returns 1 on a
+// complete valid frame, 0 mid-frame, -1 on CRC failure, -2 on an unknown
+// msgid (frame discarded; parser resynchronizes on the next magic).
+int mavlink_parser_feed_auto(void* pp, uint8_t byte, uint32_t* msgid,
+                             uint8_t* payload, uint8_t* payload_len) {
+    auto* p = static_cast<Parser*>(pp);
+    switch (p->state) {
+        case Parser::kIdle:
+            if (byte == kMagicV2) {
+                p->buf[0] = byte;
+                p->have = 1;
+                p->state = Parser::kGotMagic;
+            }
+            return 0;
+        case Parser::kGotMagic:
+            p->buf[1] = byte;
+            p->have = 2;
+            p->need = kHeaderLen + byte + kCrcLen;
+            p->state = Parser::kInFrame;
+            return 0;
+        case Parser::kInFrame:
+            p->buf[p->have++] = byte;
+            if (p->have < p->need) return 0;
+            p->state = Parser::kIdle;
+            {
+                size_t plen = p->buf[1];
+                uint32_t id = static_cast<uint32_t>(p->buf[7]) |
+                              (static_cast<uint32_t>(p->buf[8]) << 8) |
+                              (static_cast<uint32_t>(p->buf[9]) << 16);
+                int extra = mavlink_crc_extra_for(id);
+                if (extra < 0) return -2;
+                uint16_t crc = mavlink_crc(p->buf + 1, kHeaderLen - 1 + plen,
+                                           static_cast<uint8_t>(extra));
+                uint16_t got = static_cast<uint16_t>(
+                    p->buf[kHeaderLen + plen] |
+                    (p->buf[kHeaderLen + plen + 1] << 8));
+                if (crc != got) return -1;
+                *msgid = id;
+                *payload_len = static_cast<uint8_t>(plen);
+                if (plen) std::memcpy(payload, p->buf + kHeaderLen, plen);
+            }
+            return 1;
+    }
+    return 0;
+}
+
 // SET_ATTITUDE_TARGET (#82), CRC_EXTRA = 49. Field order per spec (sorted by
 // size): time_boot_ms u32, q[4] f32, roll/pitch/yaw rates f32, thrust f32,
 // target_system u8, target_component u8, type_mask u8 -> 39 bytes.
@@ -173,6 +236,37 @@ int mavlink2_pack_command_long(const float params7[7], uint16_t command,
     payload[32] = confirmation;
     return mavlink2_pack(76, payload, sizeof(payload), seq, sysid, compid,
                          /*crc_extra=*/152, out);
+}
+
+// ATTITUDE (#30), CRC_EXTRA = 39 — the vehicle's attitude telemetry (what
+// the reference's input adapter consumes for orientation on a real vehicle,
+// betaflight_ctrl/src/input.cpp odometry path).  Wire order: time_boot_ms
+// u32, roll/pitch/yaw f32, rollspeed/pitchspeed/yawspeed f32 -> 28 bytes.
+int mavlink2_pack_attitude(uint32_t time_boot_ms, const float rpy[3],
+                           const float rates[3], uint8_t seq, uint8_t sysid,
+                           uint8_t compid, uint8_t* out) {
+    uint8_t payload[28];
+    std::memcpy(payload + 0, &time_boot_ms, 4);
+    std::memcpy(payload + 4, rpy, 12);
+    std::memcpy(payload + 16, rates, 12);
+    return mavlink2_pack(30, payload, sizeof(payload), seq, sysid, compid,
+                         /*crc_extra=*/39, out);
+}
+
+// LOCAL_POSITION_NED (#32), CRC_EXTRA = 185 — the vehicle's local odometry
+// (position + velocity in NED), the other half of the incoming state the
+// home-frame latch and staleness gates feed on.  Wire order: time_boot_ms
+// u32, x/y/z f32, vx/vy/vz f32 -> 28 bytes.
+int mavlink2_pack_local_position_ned(uint32_t time_boot_ms, const float xyz[3],
+                                     const float vxyz[3], uint8_t seq,
+                                     uint8_t sysid, uint8_t compid,
+                                     uint8_t* out) {
+    uint8_t payload[28];
+    std::memcpy(payload + 0, &time_boot_ms, 4);
+    std::memcpy(payload + 4, xyz, 12);
+    std::memcpy(payload + 16, vxyz, 12);
+    return mavlink2_pack(32, payload, sizeof(payload), seq, sysid, compid,
+                         /*crc_extra=*/185, out);
 }
 
 // PARAM_SET (#23), CRC_EXTRA = 168 — write one onboard parameter (the
