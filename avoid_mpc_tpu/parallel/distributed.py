@@ -6,13 +6,19 @@ scale-out is one SPMD program across hosts: every host runs the same code,
 ('scenario','points') mesh spans the global device set — DCN carries only
 the psum'd metric scalars (SURVEY.md §5 "Distributed communication backend").
 
-Run on each host of a pod slice:
+Run on each host of a pod slice **by file path**, not ``-m``:
 
-    python -m avoid_mpc_tpu.parallel.distributed --batch 8192
+    python avoid_mpc_tpu/parallel/distributed.py --batch 8192 \
+        --coordinator HOST:PORT --num-processes N --process-id I
 
-(on single-host environments this degrades to the local mesh; the multi-host
-path is validated by the driver's virtual-device dryrun since this machine
-has one chip).
+(``python -m`` would import the package first, and its module-level constants
+initialize a JAX backend before ``jax.distributed.initialize`` can run —
+this file defers every package import until after bring-up for exactly that
+reason.  On single-host environments it degrades to the local mesh.)
+
+Multi-process validation: tests/test_distributed_multiproc.py runs this
+end-to-end with 2 coordinated processes x 4 CPU devices and archives
+MULTIPROC.json.
 """
 
 from __future__ import annotations
@@ -34,8 +40,14 @@ def initialize_if_needed(coordinator: str | None = None, num_processes: int | No
                 num_processes=num_processes,
                 process_id=process_id,
             )
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            # Tolerate ONLY the idempotent case.  Anything else (e.g. "must
+            # be called before any backend is initialized" — the -m footgun,
+            # see module docstring) must surface: swallowing it silently
+            # degrades a coordinated run to N independent single-process
+            # runs that still "pass".
+            if "already initialized" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()
 
 
@@ -45,10 +57,14 @@ def main(argv=None):
     parser.add_argument("--coordinator", default=None)
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--points", type=int, default=512, help="cloud points/scenario")
+    parser.add_argument("--out", default=None, help="write metrics JSON here (pid 0)")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     pid, nproc = initialize_if_needed(args.coordinator, args.num_processes, args.process_id)
 
@@ -63,18 +79,52 @@ def main(argv=None):
     sp = SolverParams.from_config(cfg)
     mesh = make_mesh()
     b = args.batch
-    x0, ref, target, pts, mask = _build_problem_batch(b, cfg.horizon_steps, 512, jnp.float32)
+    x0, ref, target, pts, mask = _build_problem_batch(b, cfg.horizon_steps, args.points, jnp.float32)
     us = jnp.zeros((b, cfg.horizon_steps, 4), jnp.float32).at[:, :, 2].set(9.81)
     _, obstacles = jax.jit(
         lambda r, p, m: jax.vmap(lambda a, b_, c: knn(a[:, 0:3], b_, c, 3))(r, p, m)
     )(ref, pts, mask)
-    res = shard_solve(mesh, MPCProblem(x0, ref, obstacles, target), us, sp, SolverHyper())
+
+    problems = MPCProblem(x0, ref, obstacles, target)
+    if nproc > 1:
+        # Multi-controller: every process builds the SAME deterministic
+        # global batch (seeded), then assembles true global arrays — each
+        # process donating the shards it owns on the ('scenario') axis.
+        # This is the TPU-native analogue of the reference's per-node topic
+        # fan-out (bfctrl_node.cpp:26-72): one SPMD program, data sharded
+        # by scenario, DCN carrying only the psum'd metric scalars.
+        sh = NamedSharding(mesh, P("scenario"))
+
+        def globalize(a):
+            host = np.asarray(a)
+            return jax.make_array_from_callback(host.shape, sh, lambda idx: host[idx])
+
+        problems = jax.tree.map(globalize, problems)
+        us = globalize(us)
+
+    res = shard_solve(mesh, problems, us, sp, SolverHyper())
     mean_cost, conv = sharded_metrics(mesh, res.cost, res.converged)
+    mean_cost, conv = float(mean_cost), float(conv)
     if pid == 0:
         print(
             f"hosts={nproc} devices={jax.device_count()} batch={b} "
-            f"mean_cost={float(mean_cost):.3f} converged={float(conv):.2f}"
+            f"mean_cost={mean_cost:.3f} converged={conv:.2f}"
         )
+        if args.out:
+            import json
+
+            with open(args.out, "w") as f:
+                json.dump(
+                    {
+                        "num_processes": nproc,
+                        "devices": jax.device_count(),
+                        "local_devices": jax.local_device_count(),
+                        "batch": b,
+                        "mean_cost": mean_cost,
+                        "converged_frac": conv,
+                    },
+                    f,
+                )
 
 
 if __name__ == "__main__":
