@@ -92,6 +92,12 @@ class SolverHyper(NamedTuple):
     # Use the fused Pallas Riccati sweep when vmapped on TPU f32 (the XLA
     # scan path otherwise; results agree to fp tolerance).
     use_pallas: bool = True
+    # Fuse the ENTIRE solve (rollout + all iterations of linearize/backward/
+    # line-search/trust-region + final certificate) into ONE Pallas program
+    # per batch tile (solver/pallas_sqp.py) — everything VMEM-resident, HBM
+    # traffic = problem in / trajectory out.  Falls back to the per-phase
+    # kernels when off (A/B and debugging).
+    fuse: bool = True
 
     @staticmethod
     def from_config(cfg: MPCConfig, fast: bool = False) -> "SolverHyper":
@@ -390,6 +396,18 @@ def _solve_impl(
     dtype = us_init.dtype
     us0 = jnp.clip(us_init, sp.u_lower, sp.u_upper)
 
+    # Fully-fused path: the whole solve in one Pallas program (VMEM-resident
+    # across iterations; see pallas_sqp.py).  Same routing conditions as the
+    # per-phase kernels.
+    if (
+        hp.use_pallas
+        and hp.fuse
+        and not sp.dyn.use_drag
+        and dtype == jnp.float32
+        and jax.devices()[0].platform == "tpu"
+    ):
+        return _solve_fused(problem, us0, sp, hp)
+
     if sp.dyn.use_drag:
         # generic path: nonlinear dynamics, per-stage Jacobians each iteration
         dyn_step = lambda x, u: rk4_step(x, u, sp.dt, sp.dyn)
@@ -556,6 +574,65 @@ def _solve_impl(
         grad_norm=grad_norm,
         converged=grad_norm < hp.grad_tol,
         reg=reg,
+    )
+
+
+def _solve_fused(
+    problem: MPCProblem, us0: jax.Array, sp: SolverParams, hp: SolverHyper
+) -> SolveResult:
+    """Dispatch to the fully-fused SQP kernel (pallas_sqp.py) via custom_vmap:
+    the per-scenario call runs the kernel with a singleton batch; a vmapped
+    call maps the whole batch onto the kernel's lane axis.  Semantics are
+    tested against the per-scenario XLA ``solve`` (tests/test_pallas_sqp.py)."""
+    from avoid_mpc_tpu.solver.pallas_sqp import sqp_solve_batched
+
+    Ad, Bd, cvec = _affine_dynamics(sp, jnp.float32)
+    cp = sp.cost
+    kw = dict(
+        iters=hp.iters, n_alphas=hp.n_alphas, bq_iters=hp.boxqp_iters,
+        reg_init=hp.reg_init, reg_min=hp.reg_min, reg_max=hp.reg_max,
+    )
+
+    # custom_vmap: every traced value must be an explicit argument (closed-
+    # over tracers become constants its lowering cannot handle).
+    @jax.custom_batching.custom_vmap
+    def fs(x0, us0, ref, obstacles, target, Ad_, Bd_, cvec_, lo, hi,
+           qg, qp, qu, lam, rad, lamo, marg):
+        out = sqp_solve_batched(
+            Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg,
+            x0[None], us0[None], ref[None], obstacles[None], target[None],
+            **kw,
+        )
+        return jax.tree.map(lambda a: a[0], out)
+
+    @fs.def_vmap
+    def _fs_vmap(axis_size, in_batched, x0, us0, ref, obstacles, target,
+                 Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg):
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        per = (x0, us0, ref, obstacles, target)
+        x0_, us0_, ref_, obs_, tgt_ = (
+            bcast(a, f) for a, f in zip(per, in_batched[:5])
+        )
+        consts = (Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg)
+        Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg = (
+            (a[0] if f else a) for a, f in zip(consts, in_batched[5:])
+        )
+        out = sqp_solve_batched(
+            Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg,
+            x0_, us0_, ref_, obs_, tgt_, **kw,
+        )
+        return out, tuple(True for _ in out)
+
+    us, xs, cost, pg, reg = fs(
+        problem.x0, us0, problem.ref, problem.obstacles, problem.target,
+        Ad, Bd, cvec, sp.u_lower, sp.u_upper, cp.q_goal, cp.q_path, cp.q_u,
+        cp.collide_lambda, cp.drone_radius, cp.lam_omni, cp.margin_v,
+    )
+    return SolveResult(
+        us=us, xs=xs, cost=cost, grad_norm=pg,
+        converged=pg < hp.grad_tol, reg=reg,
     )
 
 

@@ -1,0 +1,619 @@
+"""Fully-fused SQP solve — ONE Pallas program per batch tile.
+
+Round-2 roofline analysis (``ROOFLINE.json``) showed the batched solver at
+the v5e memory roofline: 21.1 GB of HBM traffic per 4096-scenario step for
+only 164 MFLOP of useful math (arithmetic intensity 0.008), because each of
+the 10 SQP iterations round-trips the (B,N,10,10)/(B,N,10,4) stage tensors
+through HBM between separately-launched phases (XLA linearize -> Pallas
+backward -> Pallas forward).  This kernel removes the round trips entirely:
+the WHOLE solve — initial rollout, then per iteration {inline cost
+linearization, Riccati backward sweep with per-stage box QPs, multi-alpha
+line search, Levenberg trust-region update}, then the final-iterate
+projected-gradient certificate — runs inside one kernel, with every
+intermediate (cx/cxx/kff/K/candidate trajectories) resident in VMEM.
+
+HBM traffic per solve becomes inputs + outputs only (~3 KB/scenario: the
+problem data in, the optimal trajectory out) — a ~1000x cut vs the phase-
+split path, moving the program from the bandwidth roofline to compute bound.
+
+Layout: batch in lanes (everything transposed to batch-last, see
+pallas_backward.py).  Semantics match :func:`avoid_mpc_tpu.solver.ilqr.solve`
+on the LTI (drag-free) path to fp tolerance — tested in
+``tests/test_pallas_sqp.py`` (interpret mode on CPU) and on-chip.
+
+Reference analogue: the warm-started IPOPT solve capped at 10 iterations
+(``HighLvlMpc.cpp:17-23``) — here the cap is the static ``iters`` and each
+"iteration" is the DDP analogue of one SQP step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from avoid_mpc_tpu.solver.pallas_backward import (
+    NU,
+    NX,
+    _boxqp_lanes,
+    _contract_left,
+    _inv4_lanes,
+    _mv4,
+    _swap01,
+)
+
+_BIG = 3.0e38
+_ABS_EPS = 1e-8  # models/costs.ABS_SMOOTHING
+_SHARP = 32.0  # models/costs.COLLISION_SHARPNESS
+# full-state indices of the 6-dim (p, v) collision sub-state
+_PV = (0, 1, 2, 4, 5, 6)
+
+
+def _softplus(x):
+    return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
+
+
+def _sigmoid(x):
+    # stable both directions (padding lanes see |z| ~ 3e5)
+    e = jnp.exp(-jnp.abs(x))
+    return jnp.where(x >= 0.0, 1.0 / (1.0 + e), e / (1.0 + e))
+
+
+def _make_kernel(
+    n: int,
+    n_obs: int,
+    iters: int,
+    n_alphas: int,
+    bq_iters: int,
+    reg_init: float,
+    reg_min: float,
+    reg_max: float,
+):
+    alphas = [2.0**-i for i in range(n_alphas)]
+
+    def kernel(
+        # constants
+        ad_s,  # SMEM (10, 10)   (backward contractions: scalar reads)
+        bd_s,  # SMEM (10, 4)
+        bounds_ref,  # SMEM (2, 4): [u_lower; u_upper]
+        qgoal_ref,  # SMEM (1, 10)
+        qpath_ref,  # SMEM (1, 10)
+        qu_ref,  # SMEM (1, 4)
+        misc_ref,  # SMEM (1, 8): [lambda, radius, g, lam_omni, margin_v, 0,0,0]
+        ad_v,  # VMEM (10, 10)   (forward column FMAs)
+        bd_v,  # VMEM (10, 4)
+        cvec_ref,  # VMEM (10, 1)
+        # per-tile problem data
+        x0_ref,  # VMEM (10, BT)
+        usin_ref,  # VMEM (N, 4, BT)
+        ref_ref,  # VMEM (N, 10, BT)
+        obs_ref,  # VMEM (N, n_obs, 3, BT)
+        target_ref,  # VMEM (10, BT)
+        # outputs
+        us_ref,  # (N, 4, BT)
+        xs_ref,  # (N+1, 10, BT)
+        stats_ref,  # (3, BT): [cost; grad_norm; reg]
+        # scratch
+        kff_ref,  # (N, 4, BT)
+        kt_ref,  # (N, 10, 4, BT)  K^T layout
+        cus_ref,  # (N, 4, BT)  line-search candidate controls
+        cxs_ref,  # (N+1, 10, BT)  candidate states
+    ):
+        bt = x0_ref.shape[-1]
+        dtype = jnp.float32
+        lam = misc_ref[0, 0]
+        radius = misc_ref[0, 1]
+        grav = misc_ref[0, 2]
+        lam_omni = misc_ref[0, 3]
+        margin_v = misc_ref[0, 4]
+
+        lo = jnp.stack([jnp.full((bt,), bounds_ref[0, c], dtype) for c in range(NU)])
+        hi = jnp.stack([jnp.full((bt,), bounds_ref[1, c], dtype) for c in range(NU)])
+
+        # ---------------- forward machinery (pallas_forward.py semantics) ---
+        def step_x(x, u):
+            """x' = Ad x + Bd u + c, columns-of-A form: 14 (10,BT) FMAs."""
+            acc = jnp.broadcast_to(cvec_ref[:, 0:1], (NX, bt)) * 1.0
+            for j in range(NX):
+                acc = acc + ad_v[:, j : j + 1] * x[j][None, :]
+            for j in range(NU):
+                acc = acc + bd_v[:, j : j + 1] * u[j][None, :]
+            return acc
+
+        def control_cost(u):
+            c = jnp.zeros((bt,), dtype)
+            for cidx in range(NU):
+                du = u[cidx] - (grav if cidx == 2 else 0.0)
+                c = c + qu_ref[0, cidx] * du * du
+            return c
+
+        def node_cost(x, k: int):
+            """State cost at node k+1 given stage k (STATIC k)."""
+            if k == n - 1:
+                c = jnp.zeros((bt,), dtype)
+                for i in range(NX):
+                    d = x[i] - target_ref[i]
+                    c = c + qgoal_ref[0, i] * d * d
+                return c
+            ref_k = ref_ref[k]
+            cy = jnp.cos(ref_k[3])
+            sy = jnp.sin(ref_k[3])
+            d = [x[i] - ref_k[i] for i in range(NX)]
+            rx = d[0] * cy + d[1] * sy
+            ry = -d[0] * sy + d[1] * cy
+            rvx = d[4] * cy + d[5] * sy
+            rvy = -d[4] * sy + d[5] * cy
+            rot = [rx, ry, d[2], d[3], rvx, rvy, d[6], d[7], d[8], d[9]]
+            c = jnp.zeros((bt,), dtype)
+            for i in range(NX):
+                c = c + qpath_ref[0, i] * rot[i] * rot[i]
+            rv2 = ref_k[4] * ref_k[4] + ref_k[5] * ref_k[5] + ref_k[6] * ref_k[6]
+            r_eff = radius + margin_v * jnp.sqrt(rv2)
+            obs_k = obs_ref[k]
+            for o in range(n_obs):
+                vx = obs_k[o, 0] - x[0]
+                vy = obs_k[o, 1] - x[1]
+                vz = obs_k[o, 2] - x[2]
+                d2 = jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-12)
+                dist = jnp.sqrt(d2)
+                v_along = (x[4] * vx + x[5] * vy + x[6] * vz) / dist
+                v_toward = jnp.sqrt(v_along * v_along + _ABS_EPS)
+                c = c + (lam * v_toward + lam_omni) * _softplus(
+                    -_SHARP * (dist - r_eff)
+                )
+            return c
+
+        def init_rollout():
+            """Clip the warm start into us_ref, roll into xs_ref, return cost."""
+            x = jnp.stack([x0_ref[i] for i in range(NX)], axis=0)
+            xs_ref[0] = x
+            total = jnp.zeros((bt,), dtype)
+            for k in range(n):
+                u = jnp.minimum(jnp.maximum(usin_ref[k], lo), hi)
+                us_ref[k] = u
+                x = step_x(x, u)
+                xs_ref[k + 1] = x
+                total = total + control_cost(u) + node_cost(x, k)
+            return total
+
+        def ls_rollout(alpha, store: bool):
+            """Closed-loop rollout u = clip(u_k + a k + K (x - x_k)); returns
+            total cost.  alpha: python float or (BT,) vector."""
+            x = jnp.stack([x0_ref[i] for i in range(NX)], axis=0)
+            if store:
+                cxs_ref[0] = x
+            total = jnp.zeros((bt,), dtype)
+            for k in range(n):
+                kff_k = kff_ref[k]
+                if isinstance(alpha, float):
+                    u = us_ref[k] + alpha * kff_k
+                else:
+                    u = us_ref[k] + alpha[None, :] * kff_k
+                kt_k = kt_ref[k]  # (10, 4, BT); K[c, b] = KT[b, c]
+                xref_k = xs_ref[k]
+                for b in range(NX):
+                    u = u + kt_k[b] * (x[b] - xref_k[b])[None, :]
+                u = jnp.minimum(jnp.maximum(u, lo), hi)
+                x = step_x(x, u)
+                total = total + control_cost(u) + node_cost(x, k)
+                if store:
+                    cus_ref[k] = u
+                    cxs_ref[k + 1] = x
+            return total
+
+        # ---------------- inline linearization (ilqr._linearize semantics) --
+        def linearize_terminal():
+            """Goal quadratic at node N: cx = 2 q_goal (x - target)."""
+            x = xs_ref[n]
+            cx = jnp.stack(
+                [2.0 * qgoal_ref[0, i] * (x[i] - target_ref[i]) for i in range(NX)]
+            )
+            zero = jnp.zeros((bt,), dtype)
+            rows = []
+            for i in range(NX):
+                rows.append(
+                    jnp.stack(
+                        [
+                            jnp.full((bt,), 2.0 * qgoal_ref[0, i], dtype)
+                            if j == i
+                            else zero
+                            for j in range(NX)
+                        ]
+                    )
+                )
+            return cx, jnp.stack(rows)
+
+        def linearize_interior(k):
+            """Gap quadratic (analytic yaw-rotated M) + closed-form collision
+            grad/Hessian (models/costs.collision_quadratics), node k+1 /
+            slot k.  DYNAMIC k (reverse-sweep fori counter)."""
+            x = xs_ref[k + 1]
+            ref_k = ref_ref[k]
+            cy = jnp.cos(ref_k[3])
+            sy = jnp.sin(ref_k[3])
+            qp = [qpath_ref[0, i] for i in range(NX)]
+            # 2x2 yaw blocks of M (un-doubled; final entries are 2*these)
+            p00 = qp[0] * cy * cy + qp[1] * sy * sy
+            p11 = qp[0] * sy * sy + qp[1] * cy * cy
+            p01 = (qp[0] - qp[1]) * cy * sy
+            v00 = qp[4] * cy * cy + qp[5] * sy * sy
+            v11 = qp[4] * sy * sy + qp[5] * cy * cy
+            v01 = (qp[4] - qp[5]) * cy * sy
+            dx = [x[i] - ref_k[i] for i in range(NX)]
+
+            # gradient cx = M @ dx (10,BT) as a mutable list
+            cx = [2.0 * qp[i] * dx[i] for i in range(NX)]
+            cx[0] = 2.0 * (p00 * dx[0] + p01 * dx[1])
+            cx[1] = 2.0 * (p01 * dx[0] + p11 * dx[1])
+            cx[4] = 2.0 * (v00 * dx[4] + v01 * dx[5])
+            cx[5] = 2.0 * (v01 * dx[4] + v11 * dx[5])
+
+            # Hessian entries as a dense python dict-of-lists (10x10 of (BT,))
+            zero = jnp.zeros((bt,), dtype)
+            H = [[zero for _ in range(NX)] for _ in range(NX)]
+            for i in range(NX):
+                H[i][i] = jnp.full((bt,), 2.0 * qp[i], dtype) + zero
+            H[0][0] = 2.0 * p00 + zero
+            H[1][1] = 2.0 * p11 + zero
+            H[0][1] = H[1][0] = 2.0 * p01 + zero
+            H[4][4] = 2.0 * v00 + zero
+            H[5][5] = 2.0 * v11 + zero
+            H[4][5] = H[5][4] = 2.0 * v01 + zero
+
+            # collision: per-obstacle closed forms on the (p, v) sub-state
+            rv2 = ref_k[4] * ref_k[4] + ref_k[5] * ref_k[5] + ref_k[6] * ref_k[6]
+            r_eff = radius + margin_v * jnp.sqrt(rv2)
+            obs_k = obs_ref[k]  # (n_obs, 3, BT)
+            p_vec = [x[0], x[1], x[2]]
+            v_vec = [x[4], x[5], x[6]]
+            gp = [zero, zero, zero]
+            gv = [zero, zero, zero]
+            cpp = [[zero] * 3 for _ in range(3)]
+            cpv = [[zero] * 3 for _ in range(3)]
+            cvv = [[zero] * 3 for _ in range(3)]
+            for o in range(n_obs):
+                vec = [obs_k[o, i] - p_vec[i] for i in range(3)]
+                d2 = jnp.maximum(
+                    vec[0] * vec[0] + vec[1] * vec[1] + vec[2] * vec[2], 1e-12
+                )
+                d = jnp.sqrt(d2)
+                u3 = [vec[i] / d for i in range(3)]
+                w = (v_vec[0] * vec[0] + v_vec[1] * vec[1] + v_vec[2] * vec[2]) / d
+                g = jnp.sqrt(w * w + _ABS_EPS)
+                h = w / g
+                z = -_SHARP * (d - r_eff)
+                sig = _sigmoid(z)
+                S = _softplus(z)
+                sigp = sig * (1.0 - sig)
+                eg3 = _ABS_EPS / (g * g * g)
+                q3 = [w * u3[i] - v_vec[i] for i in range(3)]
+
+                # gradients
+                a_p = lam * _SHARP * sig * g + lam_omni * _SHARP * sig
+                b_p = lam * S * h / d
+                c_v = lam * S * h
+                for i in range(3):
+                    gp[i] = gp[i] + a_p * u3[i] + b_p * q3[i]
+                    gv[i] = gv[i] + c_v * u3[i]
+
+                # Hessian blocks
+                sh2 = _SHARP * _SHARP
+                c1 = sh2 * sigp * g
+                c2 = _SHARP * sig * g / d
+                c3 = _SHARP * sig * h / d
+                c4 = S * eg3 / d2
+                c5 = S * h / d2
+                o1 = sh2 * sigp
+                o2 = _SHARP * sig / d
+                m1 = _SHARP * sig * h
+                m2 = S * eg3 / d
+                m3 = S * h / d
+                vv = lam * S * eg3
+                for i in range(3):
+                    for j in range(3):
+                        P = u3[i] * u3[j]
+                        E = 1.0 if i == j else 0.0
+                        PmE = P - E
+                        uq = u3[i] * q3[j] + q3[i] * u3[j]
+                        cpp[i][j] = cpp[i][j] + lam * (
+                            c1 * P
+                            + c2 * PmE
+                            + c3 * uq
+                            + c4 * q3[i] * q3[j]
+                            + c5 * (uq + w * PmE)
+                        ) + lam_omni * (o1 * P + o2 * PmE)
+                        cpv[i][j] = cpv[i][j] + lam * (
+                            m1 * P + m2 * q3[i] * u3[j] + m3 * PmE
+                        )
+                        cvv[i][j] = cvv[i][j] + vv * P
+
+            # scatter the 6x6 pv blocks into the full-state grad/Hessian
+            for i in range(3):
+                cx[_PV[i]] = cx[_PV[i]] + gp[i]
+                cx[_PV[3 + i]] = cx[_PV[3 + i]] + gv[i]
+                for j in range(3):
+                    H[_PV[i]][_PV[j]] = H[_PV[i]][_PV[j]] + cpp[i][j]
+                    H[_PV[i]][_PV[3 + j]] = H[_PV[i]][_PV[3 + j]] + cpv[i][j]
+                    H[_PV[3 + i]][_PV[j]] = H[_PV[3 + i]][_PV[j]] + cpv[j][i]
+                    H[_PV[3 + i]][_PV[3 + j]] = H[_PV[3 + i]][_PV[3 + j]] + cvv[i][j]
+
+            cx = jnp.stack(cx)
+            cxx = jnp.stack([jnp.stack(row) for row in H])
+            return cx, cxx
+
+        # ---------------- Riccati stage (pallas_backward.py semantics) ------
+        eye_nx = jnp.eye(NX, dtype=dtype)[:, :, None]
+        eye_nu = jnp.eye(NU, dtype=dtype)[:, :, None]
+
+        def riccati_step(k, cx_k, cxx_k, carry, reg):
+            Vx, Vxx, dV1, dV2, pg = carry
+            u_k = us_ref[k]
+            # control-cost gradient about hover [0, 0, g, 0]
+            lu_k = jnp.stack(
+                [
+                    2.0 * qu_ref[0, c] * (u_k[c] - (grav if c == 2 else 0.0))
+                    for c in range(NU)
+                ]
+            )
+
+            Wx = Vx + cx_k
+            Wxx = Vxx + cxx_k
+            WxxR = Wxx + eye_nx * reg[None, None, :]
+
+            Qx = _contract_left(ad_s, Wx, NX, NX)
+            Qu = lu_k + _contract_left(bd_s, Wx, NX, NU)
+            T1 = _contract_left(ad_s, Wxx, NX, NX)
+            Qxx = _swap01(_contract_left(ad_s, _swap01(T1), NX, NX))
+            BtW = _contract_left(bd_s, WxxR, NX, NU)
+            QuxT = _contract_left(ad_s, _swap01(BtW), NX, NX)  # (b, c, BT)
+            Quu = _contract_left(bd_s, _swap01(BtW), NX, NU)
+            Quu = 0.5 * (Quu + _swap01(Quu))
+            luu_b = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.full((bt,), 2.0 * qu_ref[0, c], dtype)
+                            if c == dd
+                            else jnp.zeros((bt,), dtype)
+                            for dd in range(NU)
+                        ]
+                    )
+                    for c in range(NU)
+                ]
+            )
+            Quu = Quu + luu_b + eye_nu * reg[None, None, :]
+
+            lb = jnp.stack([bounds_ref[0, c] - u_k[c] for c in range(NU)])
+            ub = jnp.stack([bounds_ref[1, c] - u_k[c] for c in range(NU)])
+            k_ff, free = _boxqp_lanes(Quu, Qu, lb, ub, bq_iters)
+            mf = free.astype(dtype)
+
+            Hff = (
+                Quu * mf[:, None, :] * mf[None, :, :]
+                + eye_nu * (1.0 - mf)[:, None, :]
+            )
+            inv = _inv4_lanes(Hff)
+            QuxTm = QuxT * mf[None, :, :]
+            KT = -jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            sum(QuxTm[b, dd] * inv[dd, c] for dd in range(NU))
+                            for c in range(NU)
+                        ]
+                    )
+                    for b in range(NX)
+                ]
+            )  # (10, 4, BT)
+
+            t_vec = _mv4(Quu, k_ff) + Qu
+            Vx_new = Qx
+            for c in range(NU):
+                Vx_new = Vx_new + KT[:, c] * t_vec[c][None, :]
+                Vx_new = Vx_new + QuxT[:, c] * k_ff[c][None, :]
+
+            M1T = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            sum(KT[b, c] * Quu[c, dd] for c in range(NU))
+                            for dd in range(NU)
+                        ]
+                    )
+                    for b in range(NX)
+                ]
+            )
+            rows = []
+            for a in range(NX):
+                row = Qxx[a]
+                for dd in range(NU):
+                    row = row + M1T[a, dd][None, :] * KT[:, dd]
+                for c in range(NU):
+                    row = row + KT[a, c][None, :] * QuxT[:, c]
+                    row = row + QuxT[a, c][None, :] * KT[:, c]
+                rows.append(row)
+            Vxx_new = jnp.stack(rows)
+            Vxx_new = 0.5 * (Vxx_new + _swap01(Vxx_new))
+
+            dV1 = dV1 + sum(k_ff[c] * Qu[c] for c in range(NU))
+            Hk = _mv4(Quu, k_ff)
+            dV2 = dV2 + 0.5 * sum(k_ff[c] * Hk[c] for c in range(NU))
+            pg_k = jnp.max(jnp.abs(jnp.where(free, Qu, 0.0)), axis=0)
+            pg = jnp.maximum(pg, pg_k)
+
+            kff_ref[k] = k_ff
+            kt_ref[k] = KT
+            return (Vx_new, Vxx_new, dV1, dV2, pg)
+
+        def backward(reg):
+            """Full reverse sweep; fills kff/kt refs, returns (dV1, dV2, pg)."""
+            init = (
+                jnp.zeros((NX, bt), dtype),
+                jnp.zeros((NX, NX, bt), dtype),
+                jnp.zeros((bt,), dtype),
+                jnp.zeros((bt,), dtype),
+                jnp.zeros((bt,), dtype),
+            )
+            cxN, cxxN = linearize_terminal()
+            carry = riccati_step(n - 1, cxN, cxxN, init, reg)
+
+            def body(t, carry):
+                k = n - 1 - t
+                cxk, cxxk = linearize_interior(k)
+                return riccati_step(k, cxk, cxxk, carry, reg)
+
+            carry = jax.lax.fori_loop(1, n, body, carry)
+            return carry[2], carry[3], carry[4]
+
+        # ---------------- the solve ----------------------------------------
+        cost0 = init_rollout()
+        reg0 = jnp.full((bt,), reg_init, dtype)
+
+        def outer(_, carry):
+            cost, reg = carry
+            dV1, dV2, pg = backward(reg)
+
+            costs = [ls_rollout(a, store=False) for a in alphas]
+            best_cost = jnp.full((bt,), _BIG, dtype)
+            best_alpha = jnp.zeros((bt,), dtype)
+            any_ok = jnp.zeros((bt,), jnp.bool_)
+            for a, c in zip(alphas, costs):
+                expected = a * dV1 + a * a * dV2
+                ok = (cost - c) > 1e-4 * jnp.maximum(-expected, 0.0)
+                c_m = jnp.where(ok, c, _BIG)
+                take = c_m < best_cost
+                best_cost = jnp.where(take, c_m, best_cost)
+                best_alpha = jnp.where(take, a, best_alpha)
+                any_ok = any_ok | ok
+
+            final_cost = ls_rollout(best_alpha, store=True)
+            for k in range(n):
+                cand = cus_ref[k]
+                old = us_ref[k]
+                us_ref[k] = jnp.where(any_ok[None, :], cand, old)
+            for k in range(n + 1):
+                cand = cxs_ref[k]
+                old = xs_ref[k]
+                xs_ref[k] = jnp.where(any_ok[None, :], cand, old)
+            cost_new = jnp.where(any_ok, final_cost, cost)
+            reg_new = jnp.where(
+                any_ok,
+                jnp.maximum(reg * 0.2, reg_min),
+                jnp.minimum(jnp.maximum(reg, 1e-4) * 8.0, reg_max),
+            )
+            return (cost_new, reg_new)
+
+        cost, reg = jax.lax.fori_loop(0, iters, outer, (cost0, reg0))
+        # final-iterate certificate: linearize + sweep at the returned point
+        _, _, pg = backward(reg)
+        stats_ref[0:1] = cost[None, :]
+        stats_ref[1:2] = pg[None, :]
+        stats_ref[2:3] = reg[None, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters", "n_alphas", "bq_iters",
+        "reg_init", "reg_min", "reg_max", "block_b", "interpret",
+    ),
+)
+def sqp_solve_batched(
+    Ad, Bd, cvec, u_lower, u_upper,
+    q_goal, q_path, q_u, lam, radius, lam_omni, margin_v,
+    x0, us_init, ref, obstacles, target,
+    iters: int = 10, n_alphas: int = 8, bq_iters: int = 4,
+    reg_init: float = 1e-6, reg_min: float = 1e-9, reg_max: float = 1e6,
+    block_b: int = 128, interpret: bool = False,
+):
+    """Batch-first interface to the fused full solve.
+
+    Args: Ad (10,10), Bd (10,4), cvec (10,), bounds (4,), weights as in
+    CostParams, x0 (B,10), us_init (B,N,4), ref (B,N,10),
+    obstacles (B,N,K,3), target (B,10).
+    Returns (us (B,N,4), xs (B,N+1,10), cost (B,), grad_norm (B,), reg (B,)).
+    """
+    b, n = us_init.shape[0], us_init.shape[1]
+    n_obs = obstacles.shape[2]
+    dtype = jnp.float32
+    bt = min(block_b, max(b, 1))
+    pad = (-b) % bt
+    if pad:
+        padf = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        x0, us_init, ref, obstacles, target = map(
+            padf, (x0, us_init, ref, obstacles, target)
+        )
+    bp = b + pad
+
+    to_last = lambda a: jnp.moveaxis(a.astype(dtype), 0, -1)
+    x0_t = to_last(x0)
+    us_t = to_last(us_init)
+    ref_t = to_last(ref)
+    obs_t = to_last(obstacles)
+    target_t = to_last(target)
+    bounds = jnp.stack([u_lower, u_upper]).astype(dtype)
+    misc = jnp.stack(
+        [
+            jnp.asarray(lam, dtype), jnp.asarray(radius, dtype),
+            jnp.asarray(9.81, dtype), jnp.asarray(lam_omni, dtype),
+            jnp.asarray(margin_v, dtype), jnp.asarray(0.0, dtype),
+            jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
+        ]
+    )[None, :]
+
+    grid = (bp // bt,)
+    lane = lambda *lead: pl.BlockSpec(
+        lead + (bt,), lambda i: tuple(0 for _ in lead) + (i,),
+        memory_space=pltpu.VMEM,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    us_out, xs_out, stats = pl.pallas_call(
+        _make_kernel(
+            n, n_obs, iters, n_alphas, bq_iters,
+            float(reg_init), float(reg_min), float(reg_max),
+        ),
+        grid=grid,
+        in_specs=[
+            smem, smem, smem, smem, smem, smem, smem,
+            vmem, vmem, vmem,
+            lane(NX),
+            lane(n, NU),
+            lane(n, NX),
+            lane(n, n_obs, 3),
+            lane(NX),
+        ],
+        out_specs=[
+            lane(n, NU),
+            lane(n + 1, NX),
+            lane(3),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, NU, bp), dtype),
+            jax.ShapeDtypeStruct((n + 1, NX, bp), dtype),
+            jax.ShapeDtypeStruct((3, bp), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, NU, bt), dtype),
+            pltpu.VMEM((n, NX, NU, bt), dtype),
+            pltpu.VMEM((n, NU, bt), dtype),
+            pltpu.VMEM((n + 1, NX, bt), dtype),
+        ],
+        interpret=interpret,
+    )(
+        Ad.astype(dtype), Bd.astype(dtype), bounds,
+        q_goal.astype(dtype)[None, :], q_path.astype(dtype)[None, :],
+        q_u.astype(dtype)[None, :], misc.astype(dtype),
+        Ad.astype(dtype), Bd.astype(dtype), cvec.astype(dtype)[:, None],
+        x0_t, us_t, ref_t, obs_t, target_t,
+    )
+
+    us = jnp.moveaxis(us_out, -1, 0)[:b]
+    xs = jnp.moveaxis(xs_out, -1, 0)[:b]
+    return us, xs, stats[0, :b], stats[1, :b], stats[2, :b]

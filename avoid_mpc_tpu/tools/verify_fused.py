@@ -1,0 +1,117 @@
+"""On-chip verification of the fully-fused SQP kernel (solver/pallas_sqp.py).
+
+Two phases because the image pins one backend per process:
+
+    # 1. CPU golden (XLA per-scenario solver, the semantic source of truth):
+    JAX_PLATFORMS=cpu python avoid_mpc_tpu/tools/verify_fused.py --cpu out.npz
+    # 2. real chip, fused kernel, compare:
+    python avoid_mpc_tpu/tools/verify_fused.py --tpu out.npz
+
+Flagship shapes (N=20, 10 iterations, K=3, batch 256 of randomized cylinder
+scenarios).  Catches exactly the class of bug CPU interpret tests cannot:
+Mosaic lowering differences and on-chip fp behavior (CLAUDE.md rule 2 —
+both round-1 bf16 bugs were invisible on CPU).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+_REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+sys.path.insert(0, _REPO)
+
+
+def build_problems(b, n, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from avoid_mpc_tpu.solver.ilqr import MPCProblem, hover_warm_start
+
+    rng = np.random.default_rng(42)
+    t = np.arange(1, n + 1) * 0.033
+    x0 = np.zeros((b, 10), np.float32)
+    x0[:, 2] = 1.5
+    x0[:, 4] = rng.uniform(0, 8, b)
+    ref = np.zeros((b, n, 10), np.float32)
+    speed = rng.uniform(2, 10, b)
+    ref[:, :, 0] = speed[:, None] * t[None, :]
+    ref[:, :, 4] = speed[:, None]
+    tgt = np.zeros((b, 10), np.float32)
+    tgt[:, 0] = ref[:, -1, 0]
+    obstacles = np.full((b, n, 3, 3), 1e4, np.float32)
+    for i in range(b):
+        k = rng.integers(1, 3)
+        for j in range(k):
+            obstacles[i, :, j, :] = [
+                ref[i, n // 2, 0] + rng.uniform(-1, 1),
+                rng.uniform(-0.5, 0.5),
+                1.5,
+            ]
+    problems = MPCProblem(
+        jnp.asarray(x0), jnp.asarray(ref), jnp.asarray(obstacles), jnp.asarray(tgt)
+    )
+    us0 = jnp.stack([hover_warm_start(n, dtype)] * b)
+    return problems, us0
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    mode, path = argv[0], argv[1]
+    b = 256
+
+    import jax
+    import jax.numpy as jnp
+
+    from avoid_mpc_tpu.config import MPCConfig
+    from avoid_mpc_tpu.solver.ilqr import SolverHyper, SolverParams, solve_batched
+
+    cfg = MPCConfig(mpc_T=0.66)  # N = 20
+    n = cfg.horizon_steps
+    sp = SolverParams.from_config(cfg, dtype=jnp.float32)
+    problems, us0 = build_problems(b, n, jnp.float32)
+
+    if mode == "--cpu":
+        assert jax.devices()[0].platform == "cpu", jax.devices()
+        hp = SolverHyper()  # XLA path on CPU regardless of flags
+        res = solve_batched(problems, us0, sp, hp)
+        np.savez(
+            path,
+            us=np.asarray(res.us), cost=np.asarray(res.cost),
+            grad_norm=np.asarray(res.grad_norm),
+            converged=np.asarray(res.converged),
+        )
+        print(
+            f"cpu golden: mean_cost={float(res.cost.mean()):.4f} "
+            f"conv={float(res.converged.mean()):.3f}", flush=True,
+        )
+        return 0
+
+    assert mode == "--tpu"
+    assert jax.devices()[0].platform != "cpu", jax.devices()
+    gold = np.load(path)
+    print("compiling fused solve on chip...", flush=True)
+    hp = SolverHyper()  # fuse=True routes to pallas_sqp on TPU
+    res = jax.block_until_ready(solve_batched(problems, us0, sp, hp))
+    us, cost = np.asarray(res.us), np.asarray(res.cost)
+    conv = float(np.asarray(res.converged).mean())
+
+    du = np.abs(us - gold["us"]).max()
+    du0 = np.abs(us[:, 0] - gold["us"][:, 0]).max()
+    dc = np.abs(cost - gold["cost"]) / np.maximum(np.abs(gold["cost"]), 1.0)
+    print(
+        f"tpu fused: mean_cost={float(cost.mean()):.4f} conv={conv:.3f} "
+        f"max|du|={du:.3e} max|du0|={du0:.3e} max_rel_dcost={dc.max():.3e}",
+        flush=True,
+    )
+    ok = du0 < 1e-2 and dc.max() < 1e-3 and conv > 0.95
+    print("FUSED_ONCHIP_OK" if ok else "FUSED_ONCHIP_MISMATCH", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,131 @@
+"""Fully-fused SQP solve kernel vs the per-scenario XLA solver.
+
+Interpret mode on CPU (semantics); the on-chip run is exercised by bench.py.
+The XLA ``solve`` (use_pallas off on CPU automatically) is the semantic
+source of truth (parity philosophy, CLAUDE.md); the fused kernel must track
+it through full multi-iteration solves including line-search accept/reject
+and trust-region adaptation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes on CPU
+
+from avoid_mpc_tpu.config import MPCConfig
+from avoid_mpc_tpu.solver.ilqr import (
+    MPCProblem,
+    SolverHyper,
+    SolverParams,
+    _affine_dynamics,
+    hover_warm_start,
+    solve,
+)
+from avoid_mpc_tpu.solver.pallas_sqp import sqp_solve_batched
+
+CFG = MPCConfig(mpc_T=0.2)  # N = 6 (interpret mode is slow)
+N = CFG.horizon_steps
+SP = SolverParams.from_config(CFG, dtype=jnp.float32)
+
+
+def build_problems(b, seed=0):
+    rng = np.random.default_rng(seed)
+    probs, uss = [], []
+    for i in range(b):
+        x0 = jnp.zeros(10, jnp.float32).at[2].set(1.5)
+        x0 = x0.at[4].set(float(rng.uniform(0, 3)))
+        # forward reference path with an obstacle near it
+        t = np.arange(1, N + 1) * float(CFG.mpc_dt)
+        ref = np.zeros((N, 10), np.float32)
+        ref[:, 0] = 2.0 * t
+        ref[:, 4] = 2.0
+        tgt = np.zeros(10, np.float32)
+        tgt[0] = ref[-1, 0]
+        obstacles = np.full((N, 3, 3), 1e4, np.float32)
+        obstacles[:, 0, :] = np.array(
+            [ref[N // 2, 0] + rng.uniform(-0.2, 0.2), rng.uniform(-0.3, 0.3), 1.5],
+            np.float32,
+        )
+        probs.append(
+            MPCProblem(
+                x0,
+                jnp.asarray(ref),
+                jnp.asarray(obstacles),
+                jnp.asarray(tgt),
+            )
+        )
+        uss.append(hover_warm_start(N, jnp.float32))
+    batch_p = jax.tree.map(lambda *a: jnp.stack(a), *probs)
+    return batch_p, jnp.stack(uss)
+
+
+def run_fused(problems, us0, hp, block_b=8):
+    Ad, Bd, cvec = _affine_dynamics(SP, jnp.float32)
+    cp = SP.cost
+    return sqp_solve_batched(
+        Ad, Bd, cvec, SP.u_lower, SP.u_upper,
+        cp.q_goal, cp.q_path, cp.q_u, cp.collide_lambda, cp.drone_radius,
+        cp.lam_omni, cp.margin_v,
+        problems.x0, us0, problems.ref, problems.obstacles, problems.target,
+        iters=hp.iters, n_alphas=hp.n_alphas, bq_iters=hp.boxqp_iters,
+        reg_init=hp.reg_init, reg_min=hp.reg_min, reg_max=hp.reg_max,
+        block_b=block_b, interpret=True,
+    )
+
+
+def test_fused_solve_matches_xla():
+    """3 scenarios, 3 iterations (with batch padding 3 -> 8): controls,
+    trajectory, cost, certificate and trust-region state must all track the
+    XLA solver."""
+    hp = SolverHyper(iters=3, n_alphas=4, boxqp_iters=3)
+    problems, us0 = build_problems(3)
+    us_f, xs_f, cost_f, pg_f, reg_f = run_fused(problems, us0, hp)
+    for i in range(3):
+        p_i = jax.tree.map(lambda a: a[i], problems)
+        res = solve(p_i, us0[i], SP, hp)
+        np.testing.assert_allclose(
+            np.asarray(us_f[i]), np.asarray(res.us), rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(xs_f[i]), np.asarray(res.xs), rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(float(cost_f[i]), float(res.cost), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(pg_f[i]), float(res.grad_norm), rtol=1e-2, atol=1e-4
+        )
+        # reg is NOT asserted exactly: near stationarity the line-search
+        # improvement is O(fp noise), so a single accept/reject flip between
+        # the two implementations legitimately forks the trust-region state
+        # (observed: 8e-9 vs 8e-4 with identical us/cost/certificate).
+        assert np.isfinite(float(reg_f[i])) and float(reg_f[i]) > 0.0
+
+
+def test_fused_solve_converges_to_stationarity():
+    """Longer solve drives the projected gradient toward zero and the cost
+    below the warm start's — the solver actually optimizes, not just matches
+    one step."""
+    hp = SolverHyper(iters=8, n_alphas=8, boxqp_iters=4)
+    problems, us0 = build_problems(2, seed=7)
+    us_f, xs_f, cost_f, pg_f, _ = run_fused(problems, us0, hp)
+    assert np.all(np.isfinite(np.asarray(us_f)))
+    for i in range(2):
+        p_i = jax.tree.map(lambda a: a[i], problems)
+        res = solve(p_i, us0[i], SP, hp)
+        np.testing.assert_allclose(float(cost_f[i]), float(res.cost), rtol=1e-3)
+    assert np.all(np.asarray(pg_f) < 1e-2), np.asarray(pg_f)
+
+
+def test_fused_solve_respects_bounds():
+    hp = SolverHyper(iters=4, n_alphas=4, boxqp_iters=3)
+    problems, us0 = build_problems(2, seed=11)
+    # aggressive target to saturate bounds
+    problems = problems._replace(
+        target=problems.target.at[:, 0].add(50.0),
+        ref=problems.ref.at[:, :, 0].add(30.0),
+    )
+    us_f, _, _, _, _ = run_fused(problems, us0, hp)
+    lo = np.asarray(SP.u_lower) - 1e-5
+    hi = np.asarray(SP.u_upper) + 1e-5
+    assert np.all(np.asarray(us_f) >= lo) and np.all(np.asarray(us_f) <= hi)
