@@ -476,18 +476,30 @@ def _make_kernel(
             cost, reg = carry
             dV1, dV2, pg = backward(reg)
 
-            costs = [ls_rollout(a, store=False) for a in alphas]
-            best_cost = jnp.full((bt,), _BIG, dtype)
-            best_alpha = jnp.zeros((bt,), dtype)
-            any_ok = jnp.zeros((bt,), jnp.bool_)
-            for a, c in zip(alphas, costs):
+            # alpha sweep as a fori (one rollout trace, not n_alphas copies —
+            # keeps the Mosaic program small enough to compile quickly);
+            # alpha_i = 2^-i as a traced per-lane vector.
+            def try_alpha(i, acc):
+                best_cost, best_alpha, any_ok = acc
+                a = jnp.exp2(-i.astype(dtype))
+                a_vec = jnp.full((bt,), a, dtype)
+                c = ls_rollout(a_vec, store=False)
                 expected = a * dV1 + a * a * dV2
                 ok = (cost - c) > 1e-4 * jnp.maximum(-expected, 0.0)
                 c_m = jnp.where(ok, c, _BIG)
                 take = c_m < best_cost
                 best_cost = jnp.where(take, c_m, best_cost)
-                best_alpha = jnp.where(take, a, best_alpha)
-                any_ok = any_ok | ok
+                best_alpha = jnp.where(take, a_vec, best_alpha)
+                return best_cost, best_alpha, any_ok | ok
+
+            best_cost, best_alpha, any_ok = jax.lax.fori_loop(
+                0, len(alphas), try_alpha,
+                (
+                    jnp.full((bt,), _BIG, dtype),
+                    jnp.zeros((bt,), dtype),
+                    jnp.zeros((bt,), jnp.bool_),
+                ),
+            )
 
             final_cost = ls_rollout(best_alpha, store=True)
             for k in range(n):

@@ -367,6 +367,8 @@ def main(argv=None):
     parser.add_argument("--configs", default=None, help=",".join(CONFIGS))
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--out", default=os.path.join(_REPO, "BENCH_MATRIX.json"))
+    parser.add_argument("--merge", action="store_true",
+                        help="keep existing legs in --out, refresh only --configs")
     args = parser.parse_args(argv)
 
     sys.path.insert(0, _REPO)
@@ -375,8 +377,21 @@ def main(argv=None):
     enable_persistent_cache()
     import jax
 
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=_REPO,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+
     names = args.configs.split(",") if args.configs else list(CONFIGS)
     results = {}
+    if args.merge and os.path.exists(args.out):
+        # refresh a subset of legs in an existing matrix (each leg carries
+        # its own commit stamp, so partial regeneration stays honest)
+        with open(args.out) as f:
+            results = json.load(f).get("results", {})
     for name in names:
         fn = CONFIGS[name]
         t0 = time.time()
@@ -385,6 +400,7 @@ def main(argv=None):
         except Exception as e:  # record, keep the matrix going
             res = {"error": f"{type(e).__name__}: {e}"}
         res["wall_s"] = round(time.time() - t0, 1)
+        res["commit"] = commit
         results[name] = res
         print(json.dumps({name: res}), flush=True)
 
