@@ -129,3 +129,46 @@ def test_fused_solve_respects_bounds():
     lo = np.asarray(SP.u_lower) - 1e-5
     hi = np.asarray(SP.u_upper) + 1e-5
     assert np.all(np.asarray(us_f) >= lo) and np.all(np.asarray(us_f) <= hi)
+
+
+def test_fused_solve_engine_horizon():
+    """N=30 / fast-budget shapes — what the engine's receding loop compiles
+    on TPU (EngineConfig horizon, <=3-iter solverFaster budget).  Guards the
+    kernel across the second shape family it must serve."""
+    cfg30 = MPCConfig(mpc_T=1.0)  # N = 30, the reference horizon
+    assert cfg30.horizon_steps == 30
+    sp30 = SolverParams.from_config(cfg30, dtype=jnp.float32)
+    hp = SolverHyper(iters=2, n_alphas=4, boxqp_iters=3)
+    n = cfg30.horizon_steps
+
+    rng = np.random.default_rng(5)
+    x0 = jnp.zeros(10, jnp.float32).at[2].set(1.5).at[4].set(4.0)
+    t = np.arange(1, n + 1) * float(cfg30.mpc_dt)
+    ref = np.zeros((n, 10), np.float32)
+    ref[:, 0] = 4.0 * t
+    ref[:, 4] = 4.0
+    obstacles = np.full((n, 3, 3), 1e4, np.float32)
+    obstacles[:, 0, :] = [ref[n // 2, 0], 0.1, 1.5]
+    tgt = np.zeros(10, np.float32)
+    tgt[0] = ref[-1, 0]
+    problems = MPCProblem(
+        x0[None], jnp.asarray(ref)[None], jnp.asarray(obstacles)[None],
+        jnp.asarray(tgt)[None],
+    )
+    us0 = hover_warm_start(n, jnp.float32)[None]
+
+    Ad, Bd, cvec = _affine_dynamics(sp30, jnp.float32)
+    cp = sp30.cost
+    us_f, xs_f, cost_f, pg_f, _ = sqp_solve_batched(
+        Ad, Bd, cvec, sp30.u_lower, sp30.u_upper,
+        cp.q_goal, cp.q_path, cp.q_u, cp.collide_lambda, cp.drone_radius,
+        cp.lam_omni, cp.margin_v,
+        problems.x0, us0, problems.ref, problems.obstacles, problems.target,
+        iters=hp.iters, n_alphas=hp.n_alphas, bq_iters=hp.boxqp_iters,
+        block_b=8, interpret=True,
+    )
+    res = solve(jax.tree.map(lambda a: a[0], problems), us0[0], sp30, hp)
+    np.testing.assert_allclose(
+        np.asarray(us_f[0]), np.asarray(res.us), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(float(cost_f[0]), float(res.cost), rtol=1e-4)
