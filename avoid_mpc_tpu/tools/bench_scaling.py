@@ -4,12 +4,16 @@ Stand-in for the BASELINE.md multi-host leg until real multi-chip exists:
 scenario-DP ``shard_solve`` + psum metrics over 1/2/4/8 virtual devices.
 
 Methodology (round-2 VERDICT item 4 — the previous sweep's >1 "efficiency"
-meant a corrupted baseline, not superlinear scaling):
+meant a corrupted baseline, not superlinear scaling; two real bugs fixed:
+the timed loop re-traced the un-jitted shard_map step every iteration, and
+XLA's multi-threaded eigen let the 1-device baseline borrow the whole
+host's thread pool):
 
 - **weak scaling only**: per-device batch fixed at 64;
-- **each mesh size runs in its own subprocess**, pinned with ``taskset`` to
-  ``min(n_devices, n_cores)`` physical cores, so the 1-device baseline can't
-  borrow the whole host's thread pool and deflate itself;
+- **each mesh size runs in its own subprocess** with
+  ``--xla_cpu_multi_thread_eigen=false``, so every virtual device executes
+  single-threaded and devices map 1:1 onto cores (plus one shared
+  orchestrator thread — measured ~8% of a core);
 - compile excluded, >=20 timed steps, median reported;
 - virtual devices beyond the core count oversubscribe by construction, so
   the pass metric is **core-normalized efficiency**
@@ -18,10 +22,11 @@ meant a corrupted baseline, not superlinear scaling):
 
 Single-size entry (run by the sweep driver, or standalone):
 
-    JAX_PLATFORMS=cpu JAX_NUM_CPU_DEVICES=4 taskset -c 0-3 \
+    JAX_PLATFORMS=cpu JAX_NUM_CPU_DEVICES=4 \
+        XLA_FLAGS=--xla_cpu_multi_thread_eigen=false \
         python avoid_mpc_tpu/tools/bench_scaling.py --devices 4
 
-Sweep driver (spawns the pinned subprocesses, prints the curve):
+Sweep driver (spawns the subprocesses, prints the curve):
 
     python avoid_mpc_tpu/tools/bench_scaling.py --sweep
 """
@@ -102,16 +107,12 @@ def sweep() -> dict:
     cores = os.cpu_count() or 1
     curve = {}
     for nd in (1, 2, 4, 8):
-        pinned = min(nd, cores)
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU claim in children
-        env.pop("XLA_FLAGS", None)
+        env["XLA_FLAGS"] = "--xla_cpu_multi_thread_eigen=false"
         env["JAX_PLATFORMS"] = "cpu"
         env["JAX_NUM_CPU_DEVICES"] = str(nd)
-        cmd = [
-            "taskset", "-c", f"0-{pinned - 1}" if pinned > 1 else "0",
-            sys.executable, os.path.abspath(__file__), "--devices", str(nd),
-        ]
+        cmd = [sys.executable, os.path.abspath(__file__), "--devices", str(nd)]
         r = subprocess.run(
             cmd, env=env, cwd=_REPO, capture_output=True, text=True, timeout=1800
         )
@@ -119,7 +120,6 @@ def sweep() -> dict:
             curve[str(nd)] = {"error": r.stderr[-1000:]}
             continue
         res = json.loads(r.stdout.strip().splitlines()[-1])
-        res["pinned_cores"] = pinned
         curve[str(nd)] = res
         print(json.dumps({str(nd): res}), file=sys.stderr, flush=True)
 
@@ -135,9 +135,9 @@ def sweep() -> dict:
         "batch_per_device": B_PER_DEVICE,
         "host_cores": cores,
         "protocol": (
-            f"per-size subprocess pinned to min(n, {cores}) cores; compile "
+            f"per-size subprocess, single-threaded eigen per device; compile "
             f"excluded; median of {TIMED_STEPS} steps; ideal weak time = "
-            "t1 * n / pinned_cores; pass band [0.8, 1.15]"
+            f"t1 * n / min(n, {cores}); pass band [0.8, 1.15]"
         ),
         "devices": curve,
     }
