@@ -66,7 +66,20 @@ def main():
     chain_k = int(os.environ.get("BENCH_CHAIN", 32))
 
     dtype = jnp.float32
-    step, cfg = _solve_step_fn(dtype)
+    # Fused-kernel gating for unattended runs: the fully-fused solve is only
+    # benched once its on-chip compile has been warmed+verified once (the
+    # marker is touched after a successful fused run, and the persistent
+    # cache then serves the executable in seconds).  Before that, default to
+    # the per-phase kernels whose cache entries are known-warm — a cold
+    # multi-minute Mosaic compile inside a timeout-bounded driver run must
+    # not be the first time the kernel meets silicon.  AVOID_MPC_FORCE_FUSE
+    # overrides (used by the attended verification sequence).
+    marker = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache", "FUSED_WARMED"
+    )
+    force = os.environ.get("AVOID_MPC_FORCE_FUSE") == "1"
+    fuse = None if (force or os.path.exists(marker)) else False
+    step, cfg = _solve_step_fn(dtype, fuse=fuse)
     n = cfg.horizon_steps
     x0, ref, target, pts, mask = _build_problem_batch(b, n, n_pts, dtype)
     us = jnp.zeros((b, n, 4), dtype=dtype).at[:, :, 2].set(9.81)
@@ -106,11 +119,16 @@ def main():
         # back to the per-phase kernels rather than failing the bench.
         print(f"# fused solve failed ({type(e).__name__}); retrying with "
               f"AVOID_MPC_NO_FUSE", file=sys.stderr, flush=True)
+        fuse = False
         step, cfg = _solve_step_fn(dtype, fuse=False)
         fn, fn_chain = make_fns(step)
         us1, ref1, cost, conv = jax.block_until_ready(
             fn(x0, ref, target, pts, mask, us)
         )
+    if fuse is not False and jax.devices()[0].platform == "tpu":
+        # fused path compiled + executed on silicon: future unattended runs
+        # may use it (the persistent cache now holds the executable)
+        open(marker, "w").close()
     compile_s = time.time() - t0
     t0 = time.time()
     out_c = jax.block_until_ready(fn_chain(x0, ref, target, pts, mask, us))
