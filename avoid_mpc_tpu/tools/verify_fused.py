@@ -7,6 +7,10 @@ Two phases because the image pins one backend per process:
     # 2. real chip, fused kernel, compare:
     python avoid_mpc_tpu/tools/verify_fused.py --tpu out.npz
 
+A pre-generated golden for the default seed/shapes is vendored at
+``tests/data/fused_gold.npz`` (regenerate with --cpu if the problem builder or
+solver semantics change).
+
 Flagship shapes (N=20, 10 iterations, K=3, batch 256 of randomized cylinder
 scenarios).  Catches exactly the class of bug CPU interpret tests cannot:
 Mosaic lowering differences and on-chip fp behavior (CLAUDE.md rule 2 —
