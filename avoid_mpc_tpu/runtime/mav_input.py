@@ -80,10 +80,14 @@ class MavVehicleInput:
         odom_age = now - self._lpn_seen_at if link else math.inf
         att_age = now - self._att_seen_at if link else math.inf
 
-        # NED -> z-up world: negate z / vz (yaw sign follows the same flip)
-        p = (lpn[1], lpn[2], -lpn[3])
-        v = (lpn[4], lpn[5], -lpn[6])
-        q = quat_from_euler_zyx(att[1], att[2], -att[3])
+        # NED -> NWU (z-up) world: the frames are conjugate by a pi rotation
+        # about x, so positions/velocities map (N, E, D) -> (N, -E, -D) and
+        # the ZYX euler attitude maps (roll, pitch, yaw) -> (roll, -pitch,
+        # -yaw)  [X Rz(psi) X = Rz(-psi), X Ry(th) X = Ry(-th), X Rx X = Rx
+        # for X = Rx(pi)].
+        p = (lpn[1], -lpn[2], -lpn[3])
+        v = (lpn[4], -lpn[5], -lpn[6])
+        q = quat_from_euler_zyx(att[1], -att[2], -att[3])
         return VehicleSnapshot(
             odom_p=p, odom_v=v, odom_q=q,
             odom_age=odom_age, att_age=att_age, link_ok=link,

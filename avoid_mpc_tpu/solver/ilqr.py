@@ -597,9 +597,9 @@ def _solve_fused(
     # over tracers become constants its lowering cannot handle).
     @jax.custom_batching.custom_vmap
     def fs(x0, us0, ref, obstacles, target, Ad_, Bd_, cvec_, lo, hi,
-           qg, qp, qu, lam, rad, lamo, marg):
+           qg, qp, qu, uh, lam, rad, lamo, marg):
         out = sqp_solve_batched(
-            Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg,
+            Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, uh, lam, rad, lamo, marg,
             x0[None], us0[None], ref[None], obstacles[None], target[None],
             **kw,
         )
@@ -607,7 +607,7 @@ def _solve_fused(
 
     @fs.def_vmap
     def _fs_vmap(axis_size, in_batched, x0, us0, ref, obstacles, target,
-                 Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg):
+                 Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, uh, lam, rad, lamo, marg):
         def bcast(x, batched):
             return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
@@ -615,12 +615,12 @@ def _solve_fused(
         x0_, us0_, ref_, obs_, tgt_ = (
             bcast(a, f) for a, f in zip(per, in_batched[:5])
         )
-        consts = (Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg)
-        Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg = (
+        consts = (Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, uh, lam, rad, lamo, marg)
+        Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, uh, lam, rad, lamo, marg = (
             (a[0] if f else a) for a, f in zip(consts, in_batched[5:])
         )
         out = sqp_solve_batched(
-            Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, lam, rad, lamo, marg,
+            Ad_, Bd_, cvec_, lo, hi, qg, qp, qu, uh, lam, rad, lamo, marg,
             x0_, us0_, ref_, obs_, tgt_, **kw,
         )
         return out, tuple(True for _ in out)
@@ -628,7 +628,8 @@ def _solve_fused(
     us, xs, cost, pg, reg = fs(
         problem.x0, us0, problem.ref, problem.obstacles, problem.target,
         Ad, Bd, cvec, sp.u_lower, sp.u_upper, cp.q_goal, cp.q_path, cp.q_u,
-        cp.collide_lambda, cp.drone_radius, cp.lam_omni, cp.margin_v,
+        cp.u_hover, cp.collide_lambda, cp.drone_radius, cp.lam_omni,
+        cp.margin_v,
     )
     return SolveResult(
         us=us, xs=xs, cost=cost, grad_norm=pg,

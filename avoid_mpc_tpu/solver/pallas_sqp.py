@@ -82,7 +82,8 @@ def _make_kernel(
         qgoal_ref,  # SMEM (1, 10)
         qpath_ref,  # SMEM (1, 10)
         qu_ref,  # SMEM (1, 4)
-        misc_ref,  # SMEM (1, 8): [lambda, radius, g, lam_omni, margin_v, 0,0,0]
+        uh_ref,  # SMEM (1, 4): control-cost reference point (u_hover)
+        misc_ref,  # SMEM (1, 8): [lambda, radius, 0, lam_omni, margin_v, 0,0,0]
         ad_v,  # VMEM (10, 10)   (forward column FMAs)
         bd_v,  # VMEM (10, 4)
         cvec_ref,  # VMEM (10, 1)
@@ -106,7 +107,6 @@ def _make_kernel(
         dtype = jnp.float32
         lam = misc_ref[0, 0]
         radius = misc_ref[0, 1]
-        grav = misc_ref[0, 2]
         lam_omni = misc_ref[0, 3]
         margin_v = misc_ref[0, 4]
 
@@ -126,7 +126,7 @@ def _make_kernel(
         def control_cost(u):
             c = jnp.zeros((bt,), dtype)
             for cidx in range(NU):
-                du = u[cidx] - (grav if cidx == 2 else 0.0)
+                du = u[cidx] - uh_ref[0, cidx]
                 c = c + qu_ref[0, cidx] * du * du
             return c
 
@@ -351,10 +351,10 @@ def _make_kernel(
         def riccati_step(k, cx_k, cxx_k, carry, reg):
             Vx, Vxx, dV1, dV2, pg = carry
             u_k = us_ref[k]
-            # control-cost gradient about hover [0, 0, g, 0]
+            # control-cost gradient about the hover reference point
             lu_k = jnp.stack(
                 [
-                    2.0 * qu_ref[0, c] * (u_k[c] - (grav if c == 2 else 0.0))
+                    2.0 * qu_ref[0, c] * (u_k[c] - uh_ref[0, c])
                     for c in range(NU)
                 ]
             )
@@ -537,7 +537,7 @@ def _make_kernel(
 )
 def sqp_solve_batched(
     Ad, Bd, cvec, u_lower, u_upper,
-    q_goal, q_path, q_u, lam, radius, lam_omni, margin_v,
+    q_goal, q_path, q_u, u_hover, lam, radius, lam_omni, margin_v,
     x0, us_init, ref, obstacles, target,
     iters: int = 10, n_alphas: int = 8, bq_iters: int = 4,
     reg_init: float = 1e-6, reg_min: float = 1e-9, reg_max: float = 1e6,
@@ -572,7 +572,7 @@ def sqp_solve_batched(
     misc = jnp.stack(
         [
             jnp.asarray(lam, dtype), jnp.asarray(radius, dtype),
-            jnp.asarray(9.81, dtype), jnp.asarray(lam_omni, dtype),
+            jnp.asarray(0.0, dtype), jnp.asarray(lam_omni, dtype),
             jnp.asarray(margin_v, dtype), jnp.asarray(0.0, dtype),
             jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
         ]
@@ -593,7 +593,7 @@ def sqp_solve_batched(
         ),
         grid=grid,
         in_specs=[
-            smem, smem, smem, smem, smem, smem, smem,
+            smem, smem, smem, smem, smem, smem, smem, smem,
             vmem, vmem, vmem,
             lane(NX),
             lane(n, NU),
@@ -621,7 +621,8 @@ def sqp_solve_batched(
     )(
         Ad.astype(dtype), Bd.astype(dtype), bounds,
         q_goal.astype(dtype)[None, :], q_path.astype(dtype)[None, :],
-        q_u.astype(dtype)[None, :], misc.astype(dtype),
+        q_u.astype(dtype)[None, :], u_hover.astype(dtype)[None, :],
+        misc.astype(dtype),
         Ad.astype(dtype), Bd.astype(dtype), cvec.astype(dtype)[:, None],
         x0_t, us_t, ref_t, obs_t, target_t,
     )

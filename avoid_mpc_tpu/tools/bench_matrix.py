@@ -338,11 +338,17 @@ def bench_scaling():
     """Run the weak-scaling sweep (bench_scaling.py --sweep): each mesh size
     in its own core-pinned CPU subprocess, compile excluded, >=20 steps,
     core-normalized efficiency (round-2 VERDICT item 4 methodology)."""
+    env = dict(os.environ)
+    # The sweep driver itself must be a CPU-only python: with
+    # PALLAS_AXON_POOL_IPS inherited, its sitecustomize would claim the one
+    # TPU chip (already held by THIS process) and block forever.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable,
          os.path.join(_REPO, "avoid_mpc_tpu", "tools", "bench_scaling.py"),
          "--sweep"],
-        capture_output=True, text=True, cwd=_REPO, timeout=3600,
+        capture_output=True, text=True, cwd=_REPO, timeout=3600, env=env,
     )
     for line in reversed(out.stdout.strip().splitlines()):
         try:

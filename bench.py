@@ -125,7 +125,10 @@ def main():
         us1, ref1, cost, conv = jax.block_until_ready(
             fn(x0, ref, target, pts, mask, us)
         )
-    if fuse is not False and jax.devices()[0].platform == "tpu":
+    fused_ran = (
+        fuse is not False and os.environ.get("AVOID_MPC_NO_FUSE") != "1"
+    )  # fuse=None defers to _solve_step_fn's env check — mirror it here
+    if fused_ran and jax.devices()[0].platform == "tpu":
         # fused path compiled + executed on silicon: future unattended runs
         # may use it (the persistent cache now holds the executable)
         open(marker, "w").close()

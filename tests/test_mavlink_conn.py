@@ -133,16 +133,26 @@ def test_vehicle_input_adapter_staleness_gates(pair):
     inp = MavVehicleInput(ctrl, heartbeat_timeout=0.25)
 
     veh.send_heartbeat()
-    veh.send_attitude(3.0, (0.0, 0.0, np.pi / 2))
-    veh.send_local_position(3.0, (1.0, 2.0, -5.0), (0.5, 0.0, -0.1))
+    veh.send_attitude(3.0, (0.0, 0.1, np.pi / 2))
+    veh.send_local_position(3.0, (1.0, 2.0, -5.0), (0.5, 0.3, -0.1))
     assert _wait(lambda: inp.snapshot().odom_age < 0.5)
 
     s = inp.snapshot()
     assert s.link_ok
-    np.testing.assert_allclose(s.odom_p, (1.0, 2.0, 5.0), rtol=1e-6)  # z up
-    np.testing.assert_allclose(s.odom_v, (0.5, 0.0, 0.1), rtol=1e-6)
-    # yaw +90deg NED -> -90deg z-up; quat w component = cos(-45deg)
-    np.testing.assert_allclose(s.odom_q[0], np.cos(np.pi / 4), rtol=1e-5)
+    # NED -> NWU: (N, E, D) -> (N, -E, -D)
+    np.testing.assert_allclose(s.odom_p, (1.0, -2.0, 5.0), rtol=1e-6)
+    np.testing.assert_allclose(s.odom_v, (0.5, -0.3, 0.1), rtol=1e-6)
+    # attitude conjugates to (roll, -pitch, -yaw); consistency check: the
+    # NWU body-x axis from the quaternion must point along the NWU heading
+    # of a vehicle at NED yaw +90deg (i.e. -y in NWU)
+    from avoid_mpc_tpu.utils.quaternion import quat_rotate
+
+    import jax.numpy as jnp
+    bx = np.asarray(quat_rotate(jnp.asarray(s.odom_q), jnp.asarray([1.0, 0.0, 0.0])))
+    # NED body-x = (0, cos(0.1), -sin(0.1)) -> NWU (0, -cos(0.1), +sin(0.1))
+    np.testing.assert_allclose(bx[0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(bx[1], -np.cos(0.1), atol=1e-5)
+    np.testing.assert_allclose(bx[2], np.sin(0.1), atol=1e-5)
     assert s.att_age < 1.0
 
     # silence -> watchdog trips -> all ages inf at once

@@ -66,8 +66,8 @@ def run_fused(problems, us0, hp, block_b=8):
     cp = SP.cost
     return sqp_solve_batched(
         Ad, Bd, cvec, SP.u_lower, SP.u_upper,
-        cp.q_goal, cp.q_path, cp.q_u, cp.collide_lambda, cp.drone_radius,
-        cp.lam_omni, cp.margin_v,
+        cp.q_goal, cp.q_path, cp.q_u, cp.u_hover, cp.collide_lambda,
+        cp.drone_radius, cp.lam_omni, cp.margin_v,
         problems.x0, us0, problems.ref, problems.obstacles, problems.target,
         iters=hp.iters, n_alphas=hp.n_alphas, bq_iters=hp.boxqp_iters,
         reg_init=hp.reg_init, reg_min=hp.reg_min, reg_max=hp.reg_max,
@@ -76,12 +76,14 @@ def run_fused(problems, us0, hp, block_b=8):
 
 
 def test_fused_solve_matches_xla():
-    """3 scenarios, 3 iterations (with batch padding 3 -> 8): controls,
-    trajectory, cost, certificate and trust-region state must all track the
-    XLA solver."""
+    """3 scenarios x 3 iterations: controls, trajectory, cost, certificate
+    and trust-region state must all track the XLA solver.  block_b=2 forces
+    bt=2 with batch 3, so the second tile runs with a ZERO-PADDED lane —
+    covering the padding branch (degenerate all-zero problem through
+    clip/boxqp/inv4) that the flagship 4096%128==0 config never exercises."""
     hp = SolverHyper(iters=3, n_alphas=4, boxqp_iters=3)
     problems, us0 = build_problems(3)
-    us_f, xs_f, cost_f, pg_f, reg_f = run_fused(problems, us0, hp)
+    us_f, xs_f, cost_f, pg_f, reg_f = run_fused(problems, us0, hp, block_b=2)
     for i in range(3):
         p_i = jax.tree.map(lambda a: a[i], problems)
         res = solve(p_i, us0[i], SP, hp)
@@ -161,8 +163,8 @@ def test_fused_solve_engine_horizon():
     cp = sp30.cost
     us_f, xs_f, cost_f, pg_f, _ = sqp_solve_batched(
         Ad, Bd, cvec, sp30.u_lower, sp30.u_upper,
-        cp.q_goal, cp.q_path, cp.q_u, cp.collide_lambda, cp.drone_radius,
-        cp.lam_omni, cp.margin_v,
+        cp.q_goal, cp.q_path, cp.q_u, cp.u_hover, cp.collide_lambda,
+        cp.drone_radius, cp.lam_omni, cp.margin_v,
         problems.x0, us0, problems.ref, problems.obstacles, problems.target,
         iters=hp.iters, n_alphas=hp.n_alphas, bq_iters=hp.boxqp_iters,
         block_b=8, interpret=True,
