@@ -480,26 +480,40 @@ def _make_kernel(
             # keeps the Mosaic program small enough to compile quickly);
             # alpha_i = 2^-i as a traced per-lane vector.
             def try_alpha(i, acc):
-                best_cost, best_alpha, any_ok = acc
-                a = jnp.exp2(-i.astype(dtype))
-                a_vec = jnp.full((bt,), a, dtype)
+                best_cost, best_alpha, any_ok, a = acc
+                # alpha carried by exact halving (2^-i is exact in fp);
+                # jnp.exp2(-i) on the VPU is an approximation and its
+                # sub-ulp error flipped Armijo accepts on-chip.
+                a_vec = jnp.full((bt,), 1.0, dtype) * a
                 c = ls_rollout(a_vec, store=False)
                 expected = a * dV1 + a * a * dV2
+                del i  # unused: alpha comes from the exact-halving carry
                 ok = (cost - c) > 1e-4 * jnp.maximum(-expected, 0.0)
                 c_m = jnp.where(ok, c, _BIG)
                 take = c_m < best_cost
                 best_cost = jnp.where(take, c_m, best_cost)
                 best_alpha = jnp.where(take, a_vec, best_alpha)
-                return best_cost, best_alpha, any_ok | ok
+                # any_ok carried as dtype, not bool: Mosaic fails to legalize
+                # an i1 vector loop carry on real silicon ("failed to
+                # legalize operation 'scf.for'", packed-i1 vreg layout across
+                # the scf.for boundary) — invisible in interpret mode.
+                return (
+                    best_cost,
+                    best_alpha,
+                    jnp.maximum(any_ok, ok.astype(dtype)),
+                    a * 0.5,
+                )
 
-            best_cost, best_alpha, any_ok = jax.lax.fori_loop(
+            best_cost, best_alpha, any_ok_f, _ = jax.lax.fori_loop(
                 0, len(alphas), try_alpha,
                 (
                     jnp.full((bt,), _BIG, dtype),
                     jnp.zeros((bt,), dtype),
-                    jnp.zeros((bt,), jnp.bool_),
+                    jnp.zeros((bt,), dtype),
+                    jnp.asarray(1.0, dtype),
                 ),
             )
+            any_ok = any_ok_f > 0.5
 
             final_cost = ls_rollout(best_alpha, store=True)
             for k in range(n):
