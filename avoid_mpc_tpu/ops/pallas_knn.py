@@ -13,8 +13,12 @@ touches is a contiguous (rows, lanes) tile:
 - top-k per query via k passes of [sublane-min -> first-argmin via iota
   trick -> mask-out], merged into per-query sorted best lists in VMEM
   scratch across point chunks,
-- returns distances + global indices; coordinate gathering happens outside
-  (one XLA take_along_axis).
+- the winner's COORDINATES ride along with its distance through the sorted
+  insertion (extracted with an exact masked sum over the argmin row — f32
+  zeros + one selected value, no rounding), so the kernel emits (dists,
+  coords) directly.  Round-2 returned indices and gathered outside; the
+  XLA take_along_axis + its layout copies cost ~2.5 ms/step at the
+  flagship batch (device trace), ~4x the kernel itself.
 
 Grid = (B_tiles, point_chunks), chunks innermost so the scratch best-lists
 persist per batch tile.
@@ -37,17 +41,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(k: int, q: int, chunk: int, bt: int):
-    def kernel(q_ref, p_ref, m_ref, dist_ref, idx_ref, best_d_ref, best_i_ref):
+    def kernel(
+        q_ref, p_ref, m_ref, dist_ref, crd_ref, best_d_ref, best_c_ref
+    ):
         ci = pl.program_id(1)
         n_chunks = pl.num_programs(1)
 
         @pl.when(ci == 0)
         def _():
             best_d_ref[:] = jnp.full((q, k, bt), _BIG, jnp.float32)
-            best_i_ref[:] = jnp.zeros((q, k, bt), jnp.int32)
+            best_c_ref[:] = jnp.zeros((3, q, k, bt), jnp.float32)
 
         row = jax.lax.broadcasted_iota(jnp.int32, (chunk, bt), 0)
-        offset = ci * chunk
         valid = m_ref[:] != 0  # (chunk, bt)
         px = p_ref[0]
         py = p_ref[1]
@@ -65,29 +70,41 @@ def _make_kernel(k: int, q: int, chunk: int, bt: int):
                 amin = jnp.min(
                     jnp.where(d2 <= col_min[None, :], row, jnp.int32(2**30)), axis=0
                 )  # first row achieving the min, (bt,)
+                sel = row == amin[None, :]  # exactly one row per lane
                 cand_d = col_min
-                cand_i = amin + offset
+                # winner coordinates: masked sum = f32 zeros + the one
+                # selected value, exact (no one-hot matmul — that would
+                # round coordinates to bf16 on the MXU)
+                cand_x = jnp.sum(jnp.where(sel, px, 0.0), axis=0)
+                cand_y = jnp.sum(jnp.where(sel, py, 0.0), axis=0)
+                cand_z = jnp.sum(jnp.where(sel, pz, 0.0), axis=0)
                 # lane-wise sorted insertion into the best list (no scatter,
                 # no zero-width slices — Mosaic constraints)
                 bd = best_d_ref[qi]  # (k, bt)
-                bi = best_i_ref[qi]
-                rows_d, rows_i = [], []
-                carry_d, carry_i = cand_d, cand_i
+                rows_d = []
+                rows_c = [[], [], []]
+                carry_d = cand_d
+                carry_c = [cand_x, cand_y, cand_z]
                 for slot in range(k):
-                    old_d, old_i = bd[slot], bi[slot]
+                    old_d = bd[slot]
                     take = carry_d < old_d
                     rows_d.append(jnp.where(take, carry_d, old_d)[None, :])
-                    rows_i.append(jnp.where(take, carry_i, old_i)[None, :])
+                    for d in range(3):
+                        old_c = best_c_ref[d, qi, slot]
+                        rows_c[d].append(
+                            jnp.where(take, carry_c[d], old_c)[None, :]
+                        )
+                        carry_c[d] = jnp.where(take, old_c, carry_c[d])
                     carry_d = jnp.where(take, old_d, carry_d)
-                    carry_i = jnp.where(take, old_i, carry_i)
                 best_d_ref[qi] = jnp.concatenate(rows_d, axis=0)
-                best_i_ref[qi] = jnp.concatenate(rows_i, axis=0)
-                d2 = jnp.where(row == amin[None, :], _BIG, d2)
+                for d in range(3):
+                    best_c_ref[d, qi] = jnp.concatenate(rows_c[d], axis=0)
+                d2 = jnp.where(sel, _BIG, d2)
 
         @pl.when(ci == n_chunks - 1)
         def _():
             dist_ref[:] = best_d_ref[:]
-            idx_ref[:] = best_i_ref[:]
+            crd_ref[:] = best_c_ref[:]
 
     return kernel
 
@@ -132,7 +149,7 @@ def knn_pallas_batched(
     )  # (P, B)
 
     grid = (b_pad // bt, p_pad // chunk)
-    dists2_t, idx_t = pl.pallas_call(
+    dists2_t, coords_t = pl.pallas_call(
         _make_kernel(k, q, chunk, bt),
         grid=grid,
         in_specs=[
@@ -142,25 +159,28 @@ def knn_pallas_batched(
         ],
         out_specs=[
             pl.BlockSpec((q, k, bt), lambda i, c: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, k, bt), lambda i, c: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3, q, k, bt), lambda i, c: (0, 0, 0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((q, k, b_pad), jnp.float32),
-            jax.ShapeDtypeStruct((q, k, b_pad), jnp.int32),
+            jax.ShapeDtypeStruct((3, q, k, b_pad), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((q, k, bt), jnp.float32),
-            pltpu.VMEM((q, k, bt), jnp.int32),
+            pltpu.VMEM((3, q, k, bt), jnp.float32),
         ],
         interpret=interpret,
     )(qf, pf, mi)
 
     dists2 = jnp.moveaxis(dists2_t, -1, 0)[:b]  # (B, Q, k)
-    idx = jnp.moveaxis(idx_t, -1, 0)[:b]
     found = dists2 < _BIG * 0.5
-    idx = jnp.clip(idx, 0, p - 1)
     dists = jnp.sqrt(jnp.where(found, dists2, jnp.inf)).astype(queries.dtype)
-    flat_idx = idx.reshape(b, q * k)[..., None].astype(jnp.int32)  # (B, Q*k, 1)
-    pts = jnp.take_along_axis(points, flat_idx, axis=1).reshape(b, q, k, 3)
-    pts = jnp.where(found[..., None], pts, jnp.asarray(FAR_SENTINEL, queries.dtype))
+    pts = jnp.moveaxis(coords_t, (0, 3), (3, 0))[:b]  # (B, Q, k, 3)
+    pts = jnp.where(
+        found[..., None],
+        pts.astype(queries.dtype),
+        jnp.asarray(FAR_SENTINEL, queries.dtype),
+    )
     return dists, pts

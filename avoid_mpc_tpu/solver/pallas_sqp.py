@@ -114,49 +114,59 @@ def _make_kernel(
         hi = jnp.stack([jnp.full((bt,), bounds_ref[1, c], dtype) for c in range(NU)])
 
         # ---------------- forward machinery (pallas_forward.py semantics) ---
+        # All rollout math runs on (·, A, BT) slabs where A is a leading
+        # "line-search candidates" axis riding the SUBLANE dimension: the
+        # whole 8-alpha Armijo sweep costs ONE rollout's worth of op issues
+        # instead of eight sequential rollouts (the fori-of-rollouts form
+        # was ~40% of the kernel's device time).  A=1 reuses the same code
+        # for the warm-start and final stored rollouts.
         def step_x(x, u):
-            """x' = Ad x + Bd u + c, columns-of-A form: 14 (10,BT) FMAs."""
-            acc = jnp.broadcast_to(cvec_ref[:, 0:1], (NX, bt)) * 1.0
+            """x' = Ad x + Bd u + c on (10, A, BT): 14 slab FMAs."""
+            a_dim = x.shape[1]
+            acc = jnp.broadcast_to(
+                cvec_ref[:, 0:1][:, :, None], (NX, a_dim, bt)
+            ) * 1.0
             for j in range(NX):
-                acc = acc + ad_v[:, j : j + 1] * x[j][None, :]
+                acc = acc + ad_v[:, j : j + 1][:, :, None] * x[j][None, :, :]
             for j in range(NU):
-                acc = acc + bd_v[:, j : j + 1] * u[j][None, :]
+                acc = acc + bd_v[:, j : j + 1][:, :, None] * u[j][None, :, :]
             return acc
 
         def control_cost(u):
-            c = jnp.zeros((bt,), dtype)
+            c = jnp.zeros(u.shape[1:], dtype)
             for cidx in range(NU):
                 du = u[cidx] - uh_ref[0, cidx]
                 c = c + qu_ref[0, cidx] * du * du
             return c
 
         def node_cost(x, k: int):
-            """State cost at node k+1 given stage k (STATIC k)."""
+            """State cost at node k+1 given stage k (STATIC k); x (10,A,BT)."""
+            a_shape = x.shape[1:]
             if k == n - 1:
-                c = jnp.zeros((bt,), dtype)
+                c = jnp.zeros(a_shape, dtype)
                 for i in range(NX):
-                    d = x[i] - target_ref[i]
+                    d = x[i] - target_ref[i][None, :]
                     c = c + qgoal_ref[0, i] * d * d
                 return c
             ref_k = ref_ref[k]
-            cy = jnp.cos(ref_k[3])
-            sy = jnp.sin(ref_k[3])
-            d = [x[i] - ref_k[i] for i in range(NX)]
+            cy = jnp.cos(ref_k[3])[None, :]
+            sy = jnp.sin(ref_k[3])[None, :]
+            d = [x[i] - ref_k[i][None, :] for i in range(NX)]
             rx = d[0] * cy + d[1] * sy
             ry = -d[0] * sy + d[1] * cy
             rvx = d[4] * cy + d[5] * sy
             rvy = -d[4] * sy + d[5] * cy
             rot = [rx, ry, d[2], d[3], rvx, rvy, d[6], d[7], d[8], d[9]]
-            c = jnp.zeros((bt,), dtype)
+            c = jnp.zeros(a_shape, dtype)
             for i in range(NX):
                 c = c + qpath_ref[0, i] * rot[i] * rot[i]
             rv2 = ref_k[4] * ref_k[4] + ref_k[5] * ref_k[5] + ref_k[6] * ref_k[6]
-            r_eff = radius + margin_v * jnp.sqrt(rv2)
+            r_eff = (radius + margin_v * jnp.sqrt(rv2))[None, :]
             obs_k = obs_ref[k]
             for o in range(n_obs):
-                vx = obs_k[o, 0] - x[0]
-                vy = obs_k[o, 1] - x[1]
-                vz = obs_k[o, 2] - x[2]
+                vx = obs_k[o, 0][None, :] - x[0]
+                vy = obs_k[o, 1][None, :] - x[1]
+                vz = obs_k[o, 2][None, :] - x[2]
                 d2 = jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-12)
                 dist = jnp.sqrt(d2)
                 v_along = (x[4] * vx + x[5] * vy + x[6] * vz) / dist
@@ -168,40 +178,44 @@ def _make_kernel(
 
         def init_rollout():
             """Clip the warm start into us_ref, roll into xs_ref, return cost."""
-            x = jnp.stack([x0_ref[i] for i in range(NX)], axis=0)
-            xs_ref[0] = x
+            x = jnp.stack([x0_ref[i] for i in range(NX)], axis=0)[:, None, :]
+            xs_ref[0] = x[:, 0]
             total = jnp.zeros((bt,), dtype)
             for k in range(n):
                 u = jnp.minimum(jnp.maximum(usin_ref[k], lo), hi)
                 us_ref[k] = u
-                x = step_x(x, u)
-                xs_ref[k + 1] = x
-                total = total + control_cost(u) + node_cost(x, k)
+                x = step_x(x, u[:, None, :])
+                xs_ref[k + 1] = x[:, 0]
+                total = (
+                    total + control_cost(u[:, None, :])[0] + node_cost(x, k)[0]
+                )
             return total
 
         def ls_rollout(alpha, store: bool):
-            """Closed-loop rollout u = clip(u_k + a k + K (x - x_k)); returns
-            total cost.  alpha: python float or (BT,) vector."""
-            x = jnp.stack([x0_ref[i] for i in range(NX)], axis=0)
+            """Closed-loop rollout u = clip(u_k + a k + K (x - x_k)) for a
+            whole (A, BT) slab of alphas at once; returns total cost (A, BT).
+            store=True (A must be 1) persists the candidate trajectory."""
+            a_dim = alpha.shape[0]
+            x = jnp.broadcast_to(
+                jnp.stack([x0_ref[i] for i in range(NX)], axis=0)[:, None, :],
+                (NX, a_dim, bt),
+            ) * 1.0
             if store:
-                cxs_ref[0] = x
-            total = jnp.zeros((bt,), dtype)
+                cxs_ref[0] = x[:, 0]
+            total = jnp.zeros((a_dim, bt), dtype)
             for k in range(n):
                 kff_k = kff_ref[k]
-                if isinstance(alpha, float):
-                    u = us_ref[k] + alpha * kff_k
-                else:
-                    u = us_ref[k] + alpha[None, :] * kff_k
+                u = us_ref[k][:, None, :] + alpha[None, :, :] * kff_k[:, None, :]
                 kt_k = kt_ref[k]  # (10, 4, BT); K[c, b] = KT[b, c]
                 xref_k = xs_ref[k]
                 for b in range(NX):
-                    u = u + kt_k[b] * (x[b] - xref_k[b])[None, :]
-                u = jnp.minimum(jnp.maximum(u, lo), hi)
+                    u = u + kt_k[b][:, None, :] * (x[b] - xref_k[b][None, :])[None]
+                u = jnp.minimum(jnp.maximum(u, lo[:, None, :]), hi[:, None, :])
                 x = step_x(x, u)
                 total = total + control_cost(u) + node_cost(x, k)
                 if store:
-                    cus_ref[k] = u
-                    cxs_ref[k + 1] = x
+                    cus_ref[k] = u[:, 0]
+                    cxs_ref[k + 1] = x[:, 0]
             return total
 
         # ---------------- inline linearization (ilqr._linearize semantics) --
@@ -472,50 +486,43 @@ def _make_kernel(
         cost0 = init_rollout()
         reg0 = jnp.full((bt,), reg_init, dtype)
 
+        n_a = len(alphas)
+        # (A, BT) slab of alphas: rows of python-float fulls (2^-i exact in
+        # fp; jnp.exp2(-i) on the VPU is an approximation whose sub-ulp
+        # error flipped Armijo accepts on-chip, and a captured jnp constant
+        # would hit Mosaic's "captures constants" error).
+        alpha_slab = jnp.concatenate(
+            [jnp.full((1, bt), a, dtype) for a in alphas], axis=0
+        )
+        arow = jax.lax.broadcasted_iota(jnp.int32, (n_a, bt), 0)
+
         def outer(_, carry):
             cost, reg = carry
             dV1, dV2, pg = backward(reg)
 
-            # alpha sweep as a fori (one rollout trace, not n_alphas copies —
-            # keeps the Mosaic program small enough to compile quickly);
-            # alpha_i = 2^-i as a traced per-lane vector.
-            def try_alpha(i, acc):
-                best_cost, best_alpha, any_ok, a = acc
-                # alpha carried by exact halving (2^-i is exact in fp);
-                # jnp.exp2(-i) on the VPU is an approximation and its
-                # sub-ulp error flipped Armijo accepts on-chip.
-                a_vec = jnp.full((bt,), 1.0, dtype) * a
-                c = ls_rollout(a_vec, store=False)
-                expected = a * dV1 + a * a * dV2
-                del i  # unused: alpha comes from the exact-halving carry
-                ok = (cost - c) > 1e-4 * jnp.maximum(-expected, 0.0)
-                c_m = jnp.where(ok, c, _BIG)
-                take = c_m < best_cost
-                best_cost = jnp.where(take, c_m, best_cost)
-                best_alpha = jnp.where(take, a_vec, best_alpha)
-                # any_ok carried as dtype, not bool: Mosaic fails to legalize
-                # an i1 vector loop carry on real silicon ("failed to
-                # legalize operation 'scf.for'", packed-i1 vreg layout across
-                # the scf.for boundary) — invisible in interpret mode.
-                return (
-                    best_cost,
-                    best_alpha,
-                    jnp.maximum(any_ok, ok.astype(dtype)),
-                    a * 0.5,
-                )
-
-            best_cost, best_alpha, any_ok_f, _ = jax.lax.fori_loop(
-                0, len(alphas), try_alpha,
-                (
-                    jnp.full((bt,), _BIG, dtype),
-                    jnp.zeros((bt,), dtype),
-                    jnp.zeros((bt,), dtype),
-                    jnp.asarray(1.0, dtype),
-                ),
+            # one (A, BT)-slab rollout evaluates every alpha's cost at once
+            c = ls_rollout(alpha_slab, store=False)  # (A, BT)
+            expected = alpha_slab * dV1[None, :] + (
+                alpha_slab * alpha_slab
+            ) * dV2[None, :]
+            ok = (cost[None, :] - c) > 1e-4 * jnp.maximum(-expected, 0.0)
+            c_m = jnp.where(ok, c, _BIG)
+            best_cost = jnp.min(c_m, axis=0)  # (BT,)
+            # first (= largest-alpha) row achieving the min — matches the
+            # sequential sweep's strictly-better update order
+            amin = jnp.min(
+                jnp.where(c_m <= best_cost[None, :], arow, jnp.int32(2**30)),
+                axis=0,
             )
-            any_ok = any_ok_f > 0.5
+            sel = arow == amin[None, :]
+            any_ok = jnp.max(ok.astype(dtype), axis=0) > 0.5
+            # masked sum = exact selection (zeros + one power of two);
+            # no-improvement lanes roll out at alpha 0 (the current point)
+            best_alpha = jnp.where(
+                any_ok, jnp.sum(jnp.where(sel, alpha_slab, 0.0), axis=0), 0.0
+            )
 
-            final_cost = ls_rollout(best_alpha, store=True)
+            final_cost = ls_rollout(best_alpha[None, :], store=True)[0]
             for k in range(n):
                 cand = cus_ref[k]
                 old = us_ref[k]
@@ -631,6 +638,10 @@ def sqp_solve_batched(
             pltpu.VMEM((n, NU, bt), dtype),
             pltpu.VMEM((n + 1, NX, bt), dtype),
         ],
+        # the (A, BT)-slab line search holds ~21 MB of scoped values at
+        # bt=128 — above Mosaic's 16 MB default, comfortably inside the
+        # v5e's physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(
         Ad.astype(dtype), Bd.astype(dtype), bounds,
