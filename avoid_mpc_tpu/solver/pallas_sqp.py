@@ -14,12 +14,22 @@ intermediate (cx/cxx/kff/K/candidate trajectories) resident in VMEM.
 
 HBM traffic per solve becomes inputs + outputs only (~3 KB/scenario: the
 problem data in, the optimal trajectory out) — a ~1000x cut vs the phase-
-split path, moving the program from the bandwidth roofline to compute bound.
+split path.  With HBM out of the way the program is bound by VPU
+*instruction issue*, which sets the layout (round-4 rework):
 
-Layout: batch in lanes (everything transposed to batch-last, see
-pallas_backward.py).  Semantics match :func:`avoid_mpc_tpu.solver.ilqr.solve`
-on the LTI (drag-free) path to fp tolerance — tested in
-``tests/test_pallas_sqp.py`` (interpret mode on CPU) and on-chip.
+Layout: batch rides the TRAILING TWO dims as a (BS, BL) = (8, 128) tile —
+sublanes x lanes of one full f32 VREG — so every per-scenario scalar op in
+the Riccati sweep, box QP, and analytic linearization is a full-vector
+instruction.  The previous layout (batch in lanes only, trailing ``(128,)``)
+left 7 of 8 sublanes idle on every such op: measured 16.3 ms/step at
+batch 4096 vs ~6 ms with the 2-D tile.  Line-search alpha candidates ride a
+third, leading axis (the whole 8-alpha Armijo sweep costs ONE rollout's
+worth of op issues).  Rollout stage loops are ``fori_loop``s (dynamic
+first-axis ref indexing) to keep Mosaic's scoped-VMEM footprint flat.
+
+Semantics match :func:`avoid_mpc_tpu.solver.ilqr.solve` on the LTI
+(drag-free) path to fp tolerance — tested in ``tests/test_pallas_sqp.py``
+(interpret mode on CPU) and on-chip.
 
 Reference analogue: the warm-started IPOPT solve capped at 10 iterations
 (``HighLvlMpc.cpp:17-23``) — here the cap is the static ``iters`` and each
@@ -38,7 +48,6 @@ from jax.experimental.pallas import tpu as pltpu
 from avoid_mpc_tpu.solver.pallas_backward import (
     NU,
     NX,
-    _boxqp_lanes,
     _contract_left,
     _inv4_lanes,
     _mv4,
@@ -48,6 +57,7 @@ from avoid_mpc_tpu.solver.pallas_backward import (
 _BIG = 3.0e38
 _ABS_EPS = 1e-8  # models/costs.ABS_SMOOTHING
 _SHARP = 32.0  # models/costs.COLLISION_SHARPNESS
+_EPS = 1e-8  # boxqp clamp tolerance (solver/boxqp.py)
 # full-state indices of the 6-dim (p, v) collision sub-state
 _PV = (0, 1, 2, 4, 5, 6)
 
@@ -60,6 +70,57 @@ def _sigmoid(x):
     # stable both directions (padding lanes see |z| ~ 3e5)
     e = jnp.exp(-jnp.abs(x))
     return jnp.where(x >= 0.0, 1.0 / (1.0 + e), e / (1.0 + e))
+
+
+def _hff_masked(Quu, mf):
+    """Masked Newton system Hff = M Quu M + (I - diag(m)) built per-element
+    (Mosaic supports neither scatter nor rank-2 -> rank-4 eye reshapes on
+    2-D batch tiles, so the diagonal correction is written out)."""
+    rows = []
+    for c in range(4):
+        row = []
+        for d in range(4):
+            e = Quu[c, d] * mf[c] * mf[d]
+            if c == d:
+                e = e + (1.0 - mf[c])
+            row.append(e)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def _boxqp_tiles(Quu, Qu, lb, ub, iters: int):
+    """Projected-Newton box QP on (BS, BL) batch tiles (solver/boxqp.py
+    semantics; 2-D-tile port of pallas_backward._boxqp_lanes).
+    Quu: (4, 4, BS, BL), Qu/lb/ub: (4, BS, BL).  Returns (z, free)."""
+    z = jnp.clip(jnp.zeros_like(Qu), lb, ub)
+
+    def objective(zz):
+        Hz = _mv4(Quu, zz)
+        return sum(0.5 * zz[c] * Hz[c] + Qu[c] * zz[c] for c in range(4))
+
+    for _ in range(iters):
+        g = _mv4(Quu, z) + Qu
+        clamp_lo = (z <= lb + _EPS) & (g > 0)
+        clamp_hi = (z >= ub - _EPS) & (g < 0)
+        free = jnp.logical_not(clamp_lo | clamp_hi)
+        mf = free.astype(z.dtype)
+        Hff = _hff_masked(Quu, mf)
+        dz = -_mv4(_inv4_lanes(Hff), g * mf) * mf
+        obj0 = objective(z)
+        best_z, best_obj = z, obj0
+        for alpha in (1.0, 0.5, 0.25):
+            cand = jnp.clip(z + alpha * dz, lb, ub)
+            o = objective(cand)
+            take = o < best_obj
+            best_obj = jnp.where(take, o, best_obj)
+            best_z = jnp.where(take[None], cand, best_z)
+        z = best_z
+
+    g = _mv4(Quu, z) + Qu
+    free = jnp.logical_not(
+        ((z <= lb + _EPS) & (g > 0)) | ((z >= ub - _EPS) & (g < 0))
+    )
+    return z, free
 
 
 def _make_kernel(
@@ -84,53 +145,53 @@ def _make_kernel(
         qu_ref,  # SMEM (1, 4)
         uh_ref,  # SMEM (1, 4): control-cost reference point (u_hover)
         misc_ref,  # SMEM (1, 8): [lambda, radius, 0, lam_omni, margin_v, 0,0,0]
-        ad_v,  # VMEM (10, 10)   (forward column FMAs)
-        bd_v,  # VMEM (10, 4)
-        cvec_ref,  # VMEM (10, 1)
-        # per-tile problem data
-        x0_ref,  # VMEM (10, BT)
-        usin_ref,  # VMEM (N, 4, BT)
-        ref_ref,  # VMEM (N, 10, BT)
-        obs_ref,  # VMEM (N, n_obs, 3, BT)
-        target_ref,  # VMEM (10, BT)
+        cvec_ref,  # SMEM (10, 1)
+        # per-tile problem data (batch = trailing (BS, BL) tile)
+        x0_ref,  # VMEM (10, BS, BL)
+        usin_ref,  # VMEM (N, 4, BS, BL)
+        ref_ref,  # VMEM (N, 10, BS, BL)
+        obs_ref,  # VMEM (N, n_obs, 3, BS, BL)
+        target_ref,  # VMEM (10, BS, BL)
         # outputs
-        us_ref,  # (N, 4, BT)
-        xs_ref,  # (N+1, 10, BT)
-        stats_ref,  # (3, BT): [cost; grad_norm; reg]
+        us_ref,  # (N, 4, BS, BL)
+        xs_ref,  # (N+1, 10, BS, BL)
+        stats_ref,  # (3, BS, BL): [cost; grad_norm; reg]
         # scratch
-        kff_ref,  # (N, 4, BT)
-        kt_ref,  # (N, 10, 4, BT)  K^T layout
-        cus_ref,  # (N, 4, BT)  line-search candidate controls
-        cxs_ref,  # (N+1, 10, BT)  candidate states
+        kff_ref,  # (N, 4, BS, BL)
+        kt_ref,  # (N, 10, 4, BS, BL)  K^T layout
+        cus_ref,  # (N, 4, BS, BL)  line-search candidate controls
+        cxs_ref,  # (N+1, 10, BS, BL)  candidate states
     ):
-        bt = x0_ref.shape[-1]
+        bsh = x0_ref.shape[1:]  # (BS, BL)
         dtype = jnp.float32
         lam = misc_ref[0, 0]
         radius = misc_ref[0, 1]
         lam_omni = misc_ref[0, 3]
         margin_v = misc_ref[0, 4]
 
-        lo = jnp.stack([jnp.full((bt,), bounds_ref[0, c], dtype) for c in range(NU)])
-        hi = jnp.stack([jnp.full((bt,), bounds_ref[1, c], dtype) for c in range(NU)])
+        lo = jnp.stack([jnp.full(bsh, bounds_ref[0, c], dtype) for c in range(NU)])
+        hi = jnp.stack([jnp.full(bsh, bounds_ref[1, c], dtype) for c in range(NU)])
 
         # ---------------- forward machinery (pallas_forward.py semantics) ---
-        # All rollout math runs on (·, A, BT) slabs where A is a leading
-        # "line-search candidates" axis riding the SUBLANE dimension: the
-        # whole 8-alpha Armijo sweep costs ONE rollout's worth of op issues
-        # instead of eight sequential rollouts (the fori-of-rollouts form
-        # was ~40% of the kernel's device time).  A=1 reuses the same code
-        # for the warm-start and final stored rollouts.
+        # All rollout math runs on (·, A, BS, BL) slabs where A is a leading
+        # "line-search candidates" axis: the whole 8-alpha Armijo sweep costs
+        # ONE rollout's worth of op issues instead of eight sequential
+        # rollouts.  A=1 reuses the same code for the warm-start and final
+        # stored rollouts.
         def step_x(x, u):
-            """x' = Ad x + Bd u + c on (10, A, BT): 14 slab FMAs."""
-            a_dim = x.shape[1]
-            acc = jnp.broadcast_to(
-                cvec_ref[:, 0:1][:, :, None], (NX, a_dim, bt)
-            ) * 1.0
-            for j in range(NX):
-                acc = acc + ad_v[:, j : j + 1][:, :, None] * x[j][None, :, :]
-            for j in range(NU):
-                acc = acc + bd_v[:, j : j + 1][:, :, None] * u[j][None, :, :]
-            return acc
+            """x' = Ad x + Bd u + c on (10, A, BS, BL): per-row scalar-SMEM
+            FMAs (140 vreg-FMAs either way; the per-row form avoids the
+            rank-2 -> rank-4 column-broadcast casts Mosaic cannot lower)."""
+            a_shape = x.shape[1:]
+            outs = []
+            for i in range(NX):
+                acc = jnp.full(a_shape, cvec_ref[i, 0], dtype)
+                for j in range(NX):
+                    acc = acc + ad_s[i, j] * x[j]
+                for j in range(NU):
+                    acc = acc + bd_s[i, j] * u[j]
+                outs.append(acc)
+            return jnp.stack(outs)
 
         def control_cost(u):
             c = jnp.zeros(u.shape[1:], dtype)
@@ -139,19 +200,14 @@ def _make_kernel(
                 c = c + qu_ref[0, cidx] * du * du
             return c
 
-        def node_cost(x, k: int):
-            """State cost at node k+1 given stage k (STATIC k); x (10,A,BT)."""
+        def node_cost_interior(x, k):
+            """Path + collision cost at node k+1 given stage k (DYNAMIC k,
+            k < n-1); x (10, A, BS, BL)."""
             a_shape = x.shape[1:]
-            if k == n - 1:
-                c = jnp.zeros(a_shape, dtype)
-                for i in range(NX):
-                    d = x[i] - target_ref[i][None, :]
-                    c = c + qgoal_ref[0, i] * d * d
-                return c
             ref_k = ref_ref[k]
-            cy = jnp.cos(ref_k[3])[None, :]
-            sy = jnp.sin(ref_k[3])[None, :]
-            d = [x[i] - ref_k[i][None, :] for i in range(NX)]
+            cy = jnp.cos(ref_k[3])[None]
+            sy = jnp.sin(ref_k[3])[None]
+            d = [x[i] - ref_k[i][None] for i in range(NX)]
             rx = d[0] * cy + d[1] * sy
             ry = -d[0] * sy + d[1] * cy
             rvx = d[4] * cy + d[5] * sy
@@ -161,12 +217,12 @@ def _make_kernel(
             for i in range(NX):
                 c = c + qpath_ref[0, i] * rot[i] * rot[i]
             rv2 = ref_k[4] * ref_k[4] + ref_k[5] * ref_k[5] + ref_k[6] * ref_k[6]
-            r_eff = (radius + margin_v * jnp.sqrt(rv2))[None, :]
+            r_eff = (radius + margin_v * jnp.sqrt(rv2))[None]
             obs_k = obs_ref[k]
             for o in range(n_obs):
-                vx = obs_k[o, 0][None, :] - x[0]
-                vy = obs_k[o, 1][None, :] - x[1]
-                vz = obs_k[o, 2][None, :] - x[2]
+                vx = obs_k[o, 0][None] - x[0]
+                vy = obs_k[o, 1][None] - x[1]
+                vz = obs_k[o, 2][None] - x[2]
                 d2 = jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-12)
                 dist = jnp.sqrt(d2)
                 v_along = (x[4] * vx + x[5] * vy + x[6] * vz) / dist
@@ -176,46 +232,70 @@ def _make_kernel(
                 )
             return c
 
+        def terminal_cost(x):
+            """Goal quadratic at node N; x (10, A, BS, BL)."""
+            c = jnp.zeros(x.shape[1:], dtype)
+            for i in range(NX):
+                d = x[i] - target_ref[i][None]
+                c = c + qgoal_ref[0, i] * d * d
+            return c
+
         def init_rollout():
             """Clip the warm start into us_ref, roll into xs_ref, return cost."""
-            x = jnp.stack([x0_ref[i] for i in range(NX)], axis=0)[:, None, :]
+            x = jnp.stack([x0_ref[i] for i in range(NX)], axis=0)[:, None]
             xs_ref[0] = x[:, 0]
-            total = jnp.zeros((bt,), dtype)
-            for k in range(n):
+            total = jnp.zeros(bsh, dtype)
+
+            def stage(k, x, total, interior):
                 u = jnp.minimum(jnp.maximum(usin_ref[k], lo), hi)
                 us_ref[k] = u
-                x = step_x(x, u[:, None, :])
+                x = step_x(x, u[:, None])
                 xs_ref[k + 1] = x[:, 0]
-                total = (
-                    total + control_cost(u[:, None, :])[0] + node_cost(x, k)[0]
-                )
+                node = node_cost_interior(x, k) if interior else terminal_cost(x)
+                total = total + control_cost(u[:, None])[0] + node[0]
+                return x, total
+
+            def body(k, carry):
+                return stage(k, *carry, True)
+
+            x, total = jax.lax.fori_loop(0, n - 1, body, (x, total))
+            _, total = stage(n - 1, x, total, False)
             return total
 
         def ls_rollout(alpha, store: bool):
             """Closed-loop rollout u = clip(u_k + a k + K (x - x_k)) for a
-            whole (A, BT) slab of alphas at once; returns total cost (A, BT).
-            store=True (A must be 1) persists the candidate trajectory."""
+            whole (A, BS, BL) slab of alphas at once; returns total cost
+            (A, BS, BL).  store=True (A must be 1) persists the candidate."""
             a_dim = alpha.shape[0]
             x = jnp.broadcast_to(
-                jnp.stack([x0_ref[i] for i in range(NX)], axis=0)[:, None, :],
-                (NX, a_dim, bt),
+                jnp.stack([x0_ref[i] for i in range(NX)], axis=0)[:, None],
+                (NX, a_dim) + bsh,
             ) * 1.0
             if store:
                 cxs_ref[0] = x[:, 0]
-            total = jnp.zeros((a_dim, bt), dtype)
-            for k in range(n):
+            total = jnp.zeros((a_dim,) + bsh, dtype)
+
+            def stage(k, x, total, interior):
                 kff_k = kff_ref[k]
-                u = us_ref[k][:, None, :] + alpha[None, :, :] * kff_k[:, None, :]
-                kt_k = kt_ref[k]  # (10, 4, BT); K[c, b] = KT[b, c]
+                u = us_ref[k][:, None] + alpha[None] * kff_k[:, None]
+                kt_k = kt_ref[k]  # (10, 4, BS, BL); K[c, b] = KT[b, c]
                 xref_k = xs_ref[k]
                 for b in range(NX):
-                    u = u + kt_k[b][:, None, :] * (x[b] - xref_k[b][None, :])[None]
-                u = jnp.minimum(jnp.maximum(u, lo[:, None, :]), hi[:, None, :])
+                    u = u + kt_k[b][:, None] * (x[b] - xref_k[b][None])[None]
+                u = jnp.minimum(jnp.maximum(u, lo[:, None]), hi[:, None])
                 x = step_x(x, u)
-                total = total + control_cost(u) + node_cost(x, k)
+                node = node_cost_interior(x, k) if interior else terminal_cost(x)
+                total = total + control_cost(u) + node
                 if store:
                     cus_ref[k] = u[:, 0]
                     cxs_ref[k + 1] = x[:, 0]
+                return x, total
+
+            def body(k, carry):
+                return stage(k, *carry, True)
+
+            x, total = jax.lax.fori_loop(0, n - 1, body, (x, total))
+            _, total = stage(n - 1, x, total, False)
             return total
 
         # ---------------- inline linearization (ilqr._linearize semantics) --
@@ -225,13 +305,13 @@ def _make_kernel(
             cx = jnp.stack(
                 [2.0 * qgoal_ref[0, i] * (x[i] - target_ref[i]) for i in range(NX)]
             )
-            zero = jnp.zeros((bt,), dtype)
+            zero = jnp.zeros(bsh, dtype)
             rows = []
             for i in range(NX):
                 rows.append(
                     jnp.stack(
                         [
-                            jnp.full((bt,), 2.0 * qgoal_ref[0, i], dtype)
+                            jnp.full(bsh, 2.0 * qgoal_ref[0, i], dtype)
                             if j == i
                             else zero
                             for j in range(NX)
@@ -258,18 +338,18 @@ def _make_kernel(
             v01 = (qp[4] - qp[5]) * cy * sy
             dx = [x[i] - ref_k[i] for i in range(NX)]
 
-            # gradient cx = M @ dx (10,BT) as a mutable list
+            # gradient cx = M @ dx (10, BS, BL) as a mutable list
             cx = [2.0 * qp[i] * dx[i] for i in range(NX)]
             cx[0] = 2.0 * (p00 * dx[0] + p01 * dx[1])
             cx[1] = 2.0 * (p01 * dx[0] + p11 * dx[1])
             cx[4] = 2.0 * (v00 * dx[4] + v01 * dx[5])
             cx[5] = 2.0 * (v01 * dx[4] + v11 * dx[5])
 
-            # Hessian entries as a dense python dict-of-lists (10x10 of (BT,))
-            zero = jnp.zeros((bt,), dtype)
+            # Hessian entries as a dense python dict-of-lists (10x10 of bsh)
+            zero = jnp.zeros(bsh, dtype)
             H = [[zero for _ in range(NX)] for _ in range(NX)]
             for i in range(NX):
-                H[i][i] = jnp.full((bt,), 2.0 * qp[i], dtype) + zero
+                H[i][i] = jnp.full(bsh, 2.0 * qp[i], dtype) + zero
             H[0][0] = 2.0 * p00 + zero
             H[1][1] = 2.0 * p11 + zero
             H[0][1] = H[1][0] = 2.0 * p01 + zero
@@ -280,7 +360,7 @@ def _make_kernel(
             # collision: per-obstacle closed forms on the (p, v) sub-state
             rv2 = ref_k[4] * ref_k[4] + ref_k[5] * ref_k[5] + ref_k[6] * ref_k[6]
             r_eff = radius + margin_v * jnp.sqrt(rv2)
-            obs_k = obs_ref[k]  # (n_obs, 3, BT)
+            obs_k = obs_ref[k]  # (n_obs, 3, BS, BL)
             p_vec = [x[0], x[1], x[2]]
             v_vec = [x[4], x[5], x[6]]
             gp = [zero, zero, zero]
@@ -359,9 +439,6 @@ def _make_kernel(
             return cx, cxx
 
         # ---------------- Riccati stage (pallas_backward.py semantics) ------
-        eye_nx = jnp.eye(NX, dtype=dtype)[:, :, None]
-        eye_nu = jnp.eye(NU, dtype=dtype)[:, :, None]
-
         def riccati_step(k, cx_k, cxx_k, carry, reg):
             Vx, Vxx, dV1, dV2, pg = carry
             u_k = us_ref[k]
@@ -375,42 +452,45 @@ def _make_kernel(
 
             Wx = Vx + cx_k
             Wxx = Vxx + cxx_k
-            WxxR = Wxx + eye_nx * reg[None, None, :]
 
             Qx = _contract_left(ad_s, Wx, NX, NX)
             Qu = lu_k + _contract_left(bd_s, Wx, NX, NU)
             T1 = _contract_left(ad_s, Wxx, NX, NX)
             Qxx = _swap01(_contract_left(ad_s, _swap01(T1), NX, NX))
-            BtW = _contract_left(bd_s, WxxR, NX, NU)
-            QuxT = _contract_left(ad_s, _swap01(BtW), NX, NX)  # (b, c, BT)
+            # BtW = Bd^T (Wxx + reg I): the reg-I term contracts to the
+            # closed form Bd[a, c] * reg (no rank-4 eye materialization)
+            BtW = _contract_left(bd_s, Wxx, NX, NU) + jnp.stack(
+                [
+                    jnp.stack([bd_s[a, c] * reg for a in range(NX)])
+                    for c in range(NU)
+                ]
+            )
+            QuxT = _contract_left(ad_s, _swap01(BtW), NX, NX)  # (b, c, BS, BL)
             Quu = _contract_left(bd_s, _swap01(BtW), NX, NU)
             Quu = 0.5 * (Quu + _swap01(Quu))
+            # + luu + reg I, diagonal written out per-element
             luu_b = jnp.stack(
                 [
                     jnp.stack(
                         [
-                            jnp.full((bt,), 2.0 * qu_ref[0, c], dtype)
+                            (jnp.full(bsh, 2.0 * qu_ref[0, c], dtype) + reg)
                             if c == dd
-                            else jnp.zeros((bt,), dtype)
+                            else jnp.zeros(bsh, dtype)
                             for dd in range(NU)
                         ]
                     )
                     for c in range(NU)
                 ]
             )
-            Quu = Quu + luu_b + eye_nu * reg[None, None, :]
+            Quu = Quu + luu_b
 
             lb = jnp.stack([bounds_ref[0, c] - u_k[c] for c in range(NU)])
             ub = jnp.stack([bounds_ref[1, c] - u_k[c] for c in range(NU)])
-            k_ff, free = _boxqp_lanes(Quu, Qu, lb, ub, bq_iters)
+            k_ff, free = _boxqp_tiles(Quu, Qu, lb, ub, bq_iters)
             mf = free.astype(dtype)
 
-            Hff = (
-                Quu * mf[:, None, :] * mf[None, :, :]
-                + eye_nu * (1.0 - mf)[:, None, :]
-            )
-            inv = _inv4_lanes(Hff)
-            QuxTm = QuxT * mf[None, :, :]
+            inv = _inv4_lanes(_hff_masked(Quu, mf))
+            QuxTm = QuxT * mf[None]
             KT = -jnp.stack(
                 [
                     jnp.stack(
@@ -421,13 +501,13 @@ def _make_kernel(
                     )
                     for b in range(NX)
                 ]
-            )  # (10, 4, BT)
+            )  # (10, 4, BS, BL)
 
             t_vec = _mv4(Quu, k_ff) + Qu
             Vx_new = Qx
             for c in range(NU):
-                Vx_new = Vx_new + KT[:, c] * t_vec[c][None, :]
-                Vx_new = Vx_new + QuxT[:, c] * k_ff[c][None, :]
+                Vx_new = Vx_new + KT[:, c] * t_vec[c][None]
+                Vx_new = Vx_new + QuxT[:, c] * k_ff[c][None]
 
             M1T = jnp.stack(
                 [
@@ -444,10 +524,10 @@ def _make_kernel(
             for a in range(NX):
                 row = Qxx[a]
                 for dd in range(NU):
-                    row = row + M1T[a, dd][None, :] * KT[:, dd]
+                    row = row + M1T[a, dd][None] * KT[:, dd]
                 for c in range(NU):
-                    row = row + KT[a, c][None, :] * QuxT[:, c]
-                    row = row + QuxT[a, c][None, :] * KT[:, c]
+                    row = row + KT[a, c][None] * QuxT[:, c]
+                    row = row + QuxT[a, c][None] * KT[:, c]
                 rows.append(row)
             Vxx_new = jnp.stack(rows)
             Vxx_new = 0.5 * (Vxx_new + _swap01(Vxx_new))
@@ -465,11 +545,11 @@ def _make_kernel(
         def backward(reg):
             """Full reverse sweep; fills kff/kt refs, returns (dV1, dV2, pg)."""
             init = (
-                jnp.zeros((NX, bt), dtype),
-                jnp.zeros((NX, NX, bt), dtype),
-                jnp.zeros((bt,), dtype),
-                jnp.zeros((bt,), dtype),
-                jnp.zeros((bt,), dtype),
+                jnp.zeros((NX,) + bsh, dtype),
+                jnp.zeros((NX, NX) + bsh, dtype),
+                jnp.zeros(bsh, dtype),
+                jnp.zeros(bsh, dtype),
+                jnp.zeros(bsh, dtype),
             )
             cxN, cxxN = linearize_terminal()
             carry = riccati_step(n - 1, cxN, cxxN, init, reg)
@@ -484,37 +564,37 @@ def _make_kernel(
 
         # ---------------- the solve ----------------------------------------
         cost0 = init_rollout()
-        reg0 = jnp.full((bt,), reg_init, dtype)
+        reg0 = jnp.full(bsh, reg_init, dtype)
 
         n_a = len(alphas)
-        # (A, BT) slab of alphas: rows of python-float fulls (2^-i exact in
-        # fp; jnp.exp2(-i) on the VPU is an approximation whose sub-ulp
+        # (A, BS, BL) slab of alphas: rows of python-float fulls (2^-i exact
+        # in fp; jnp.exp2(-i) on the VPU is an approximation whose sub-ulp
         # error flipped Armijo accepts on-chip, and a captured jnp constant
         # would hit Mosaic's "captures constants" error).
         alpha_slab = jnp.concatenate(
-            [jnp.full((1, bt), a, dtype) for a in alphas], axis=0
+            [jnp.full((1,) + bsh, a, dtype) for a in alphas], axis=0
         )
-        arow = jax.lax.broadcasted_iota(jnp.int32, (n_a, bt), 0)
+        arow = jax.lax.broadcasted_iota(jnp.int32, (n_a,) + bsh, 0)
 
         def outer(_, carry):
             cost, reg = carry
             dV1, dV2, pg = backward(reg)
 
-            # one (A, BT)-slab rollout evaluates every alpha's cost at once
-            c = ls_rollout(alpha_slab, store=False)  # (A, BT)
-            expected = alpha_slab * dV1[None, :] + (
+            # one (A, BS, BL)-slab rollout evaluates every alpha's cost at once
+            c = ls_rollout(alpha_slab, store=False)  # (A, BS, BL)
+            expected = alpha_slab * dV1[None] + (
                 alpha_slab * alpha_slab
-            ) * dV2[None, :]
-            ok = (cost[None, :] - c) > 1e-4 * jnp.maximum(-expected, 0.0)
+            ) * dV2[None]
+            ok = (cost[None] - c) > 1e-4 * jnp.maximum(-expected, 0.0)
             c_m = jnp.where(ok, c, _BIG)
-            best_cost = jnp.min(c_m, axis=0)  # (BT,)
+            best_cost = jnp.min(c_m, axis=0)  # (BS, BL)
             # first (= largest-alpha) row achieving the min — matches the
             # sequential sweep's strictly-better update order
             amin = jnp.min(
-                jnp.where(c_m <= best_cost[None, :], arow, jnp.int32(2**30)),
+                jnp.where(c_m <= best_cost[None], arow, jnp.int32(2**30)),
                 axis=0,
             )
-            sel = arow == amin[None, :]
+            sel = arow == amin[None]
             any_ok = jnp.max(ok.astype(dtype), axis=0) > 0.5
             # masked sum = exact selection (zeros + one power of two);
             # no-improvement lanes roll out at alpha 0 (the current point)
@@ -522,15 +602,18 @@ def _make_kernel(
                 any_ok, jnp.sum(jnp.where(sel, alpha_slab, 0.0), axis=0), 0.0
             )
 
-            final_cost = ls_rollout(best_alpha[None, :], store=True)[0]
-            for k in range(n):
-                cand = cus_ref[k]
-                old = us_ref[k]
-                us_ref[k] = jnp.where(any_ok[None, :], cand, old)
-            for k in range(n + 1):
-                cand = cxs_ref[k]
-                old = xs_ref[k]
-                xs_ref[k] = jnp.where(any_ok[None, :], cand, old)
+            final_cost = ls_rollout(best_alpha[None], store=True)[0]
+
+            def accept_u(k, _):
+                us_ref[k] = jnp.where(any_ok[None], cus_ref[k], us_ref[k])
+                return 0
+
+            def accept_x(k, _):
+                xs_ref[k] = jnp.where(any_ok[None], cxs_ref[k], xs_ref[k])
+                return 0
+
+            jax.lax.fori_loop(0, n, accept_u, 0)
+            jax.lax.fori_loop(0, n + 1, accept_x, 0)
             cost_new = jnp.where(any_ok, final_cost, cost)
             reg_new = jnp.where(
                 any_ok,
@@ -542,18 +625,26 @@ def _make_kernel(
         cost, reg = jax.lax.fori_loop(0, iters, outer, (cost0, reg0))
         # final-iterate certificate: linearize + sweep at the returned point
         _, _, pg = backward(reg)
-        stats_ref[0:1] = cost[None, :]
-        stats_ref[1:2] = pg[None, :]
-        stats_ref[2:3] = reg[None, :]
+        stats_ref[0:1] = cost[None]
+        stats_ref[1:2] = pg[None]
+        stats_ref[2:3] = reg[None]
 
     return kernel
+
+
+def _tile_shape(bt: int) -> tuple[int, int]:
+    """Choose the (BS, BL) batch tile for a bt-scenario block: full (8, 128)
+    VREG tiles when bt allows, lanes-only otherwise (small/odd batches)."""
+    if bt >= 256 and bt % 128 == 0:
+        return (min(bt // 128, 8), 128)
+    return (1, bt)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "iters", "n_alphas", "bq_iters",
-        "reg_init", "reg_min", "reg_max", "block_b", "interpret",
+        "reg_init", "reg_min", "reg_max", "block_b", "block_shape", "interpret",
     ),
 )
 def sqp_solve_batched(
@@ -562,7 +653,8 @@ def sqp_solve_batched(
     x0, us_init, ref, obstacles, target,
     iters: int = 10, n_alphas: int = 8, bq_iters: int = 4,
     reg_init: float = 1e-6, reg_min: float = 1e-9, reg_max: float = 1e6,
-    block_b: int = 128, interpret: bool = False,
+    block_b: int = 1024, block_shape: tuple[int, int] | None = None,
+    interpret: bool = False,
 ):
     """Batch-first interface to the fused full solve.
 
@@ -570,11 +662,22 @@ def sqp_solve_batched(
     CostParams, x0 (B,10), us_init (B,N,4), ref (B,N,10),
     obstacles (B,N,K,3), target (B,10).
     Returns (us (B,N,4), xs (B,N+1,10), cost (B,), grad_norm (B,), reg (B,)).
+
+    ``block_b`` bounds the scenarios per kernel instance; the batch tile is
+    laid out as trailing (BS, BL) dims per ``_tile_shape`` (full-VREG (8,128)
+    tiles on the throughput path).  ``block_shape`` overrides the tile
+    directly (tests).
     """
     b, n = us_init.shape[0], us_init.shape[1]
     n_obs = obstacles.shape[2]
     dtype = jnp.float32
-    bt = min(block_b, max(b, 1))
+    if block_shape is not None:
+        bs_t, bl = block_shape
+        bt = bs_t * bl
+    else:
+        bt = min(block_b, max(b, 1))
+        bs_t, bl = _tile_shape(bt)
+        bt = bs_t * bl
     pad = (-b) % bt
     if pad:
         padf = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
@@ -583,12 +686,17 @@ def sqp_solve_batched(
         )
     bp = b + pad
 
-    to_last = lambda a: jnp.moveaxis(a.astype(dtype), 0, -1)
-    x0_t = to_last(x0)
-    us_t = to_last(us_init)
-    ref_t = to_last(ref)
-    obs_t = to_last(obstacles)
-    target_t = to_last(target)
+    # batch-last, then split the batch into trailing (rows, BL) for the
+    # (BS, BL) tile grid
+    def to_tiles(a):
+        a = jnp.moveaxis(a.astype(dtype), 0, -1)
+        return jnp.reshape(a, a.shape[:-1] + (bp // bl, bl))
+
+    x0_t = to_tiles(x0)
+    us_t = to_tiles(us_init)
+    ref_t = to_tiles(ref)
+    obs_t = to_tiles(obstacles)
+    target_t = to_tiles(target)
     bounds = jnp.stack([u_lower, u_upper]).astype(dtype)
     misc = jnp.stack(
         [
@@ -601,11 +709,10 @@ def sqp_solve_batched(
 
     grid = (bp // bt,)
     lane = lambda *lead: pl.BlockSpec(
-        lead + (bt,), lambda i: tuple(0 for _ in lead) + (i,),
+        lead + (bs_t, bl), lambda i: tuple(0 for _ in lead) + (i, 0),
         memory_space=pltpu.VMEM,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     us_out, xs_out, stats = pl.pallas_call(
         _make_kernel(
@@ -615,7 +722,7 @@ def sqp_solve_batched(
         grid=grid,
         in_specs=[
             smem, smem, smem, smem, smem, smem, smem, smem,
-            vmem, vmem, vmem,
+            smem,
             lane(NX),
             lane(n, NU),
             lane(n, NX),
@@ -628,30 +735,35 @@ def sqp_solve_batched(
             lane(3),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, NU, bp), dtype),
-            jax.ShapeDtypeStruct((n + 1, NX, bp), dtype),
-            jax.ShapeDtypeStruct((3, bp), dtype),
+            jax.ShapeDtypeStruct((n, NU, bp // bl, bl), dtype),
+            jax.ShapeDtypeStruct((n + 1, NX, bp // bl, bl), dtype),
+            jax.ShapeDtypeStruct((3, bp // bl, bl), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, NU, bt), dtype),
-            pltpu.VMEM((n, NX, NU, bt), dtype),
-            pltpu.VMEM((n, NU, bt), dtype),
-            pltpu.VMEM((n + 1, NX, bt), dtype),
+            pltpu.VMEM((n, NU, bs_t, bl), dtype),
+            pltpu.VMEM((n, NX, NU, bs_t, bl), dtype),
+            pltpu.VMEM((n, NU, bs_t, bl), dtype),
+            pltpu.VMEM((n + 1, NX, bs_t, bl), dtype),
         ],
-        # the (A, BT)-slab line search holds ~21 MB of scoped values at
-        # bt=128 — above Mosaic's 16 MB default, comfortably inside the
-        # v5e's physical VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        # the (8,128)-tile program holds the stage scratch plus the slab
+        # line-search live set in VMEM — comfortably inside the v5e's
+        # physical VMEM, above Mosaic's 16 MB default
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(
         Ad.astype(dtype), Bd.astype(dtype), bounds,
         q_goal.astype(dtype)[None, :], q_path.astype(dtype)[None, :],
         q_u.astype(dtype)[None, :], u_hover.astype(dtype)[None, :],
         misc.astype(dtype),
-        Ad.astype(dtype), Bd.astype(dtype), cvec.astype(dtype)[:, None],
+        cvec.astype(dtype)[:, None],
         x0_t, us_t, ref_t, obs_t, target_t,
     )
 
-    us = jnp.moveaxis(us_out, -1, 0)[:b]
-    xs = jnp.moveaxis(xs_out, -1, 0)[:b]
-    return us, xs, stats[0, :b], stats[1, :b], stats[2, :b]
+    def from_tiles(a):
+        a = jnp.reshape(a, a.shape[:-2] + (bp,))
+        return jnp.moveaxis(a, -1, 0)[:b]
+
+    us = from_tiles(us_out)
+    xs = from_tiles(xs_out)
+    stats = from_tiles(stats)
+    return us, xs, stats[:, 0], stats[:, 1], stats[:, 2]

@@ -61,7 +61,7 @@ def build_problems(b, seed=0):
     return batch_p, jnp.stack(uss)
 
 
-def run_fused(problems, us0, hp, block_b=8):
+def run_fused(problems, us0, hp, block_b=8, block_shape=None):
     Ad, Bd, cvec = _affine_dynamics(SP, jnp.float32)
     cp = SP.cost
     return sqp_solve_batched(
@@ -71,8 +71,29 @@ def run_fused(problems, us0, hp, block_b=8):
         problems.x0, us0, problems.ref, problems.obstacles, problems.target,
         iters=hp.iters, n_alphas=hp.n_alphas, bq_iters=hp.boxqp_iters,
         reg_init=hp.reg_init, reg_min=hp.reg_min, reg_max=hp.reg_max,
-        block_b=block_b, interpret=True,
+        block_b=block_b, block_shape=block_shape, interpret=True,
     )
+
+
+def test_fused_solve_2d_tile_matches_lane_tile():
+    """The throughput path lays the batch out as a trailing (BS, BL) =
+    (8, 128) full-VREG tile (round-4 layout).  The per-scenario math is
+    identical to the lanes-only (1, bt) layout, so a (2, 4)-tile run (with
+    batch padding: 6 scenarios into 8 slots) must reproduce the 1-D-tile
+    result to fp identity, and the XLA solver to the usual tolerance."""
+    hp = SolverHyper(iters=3, n_alphas=4, boxqp_iters=3)
+    problems, us0 = build_problems(6, seed=3)
+    out_2d = run_fused(problems, us0, hp, block_shape=(2, 4))
+    out_1d = run_fused(problems, us0, hp, block_b=8)
+    for a, b in zip(out_2d, out_1d):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for i in range(6):
+        p_i = jax.tree.map(lambda a: a[i], problems)
+        res = solve(p_i, us0[i], SP, hp)
+        np.testing.assert_allclose(
+            np.asarray(out_2d[0][i]), np.asarray(res.us), rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(float(out_2d[2][i]), float(res.cost), rtol=1e-4)
 
 
 def test_fused_solve_matches_xla():
