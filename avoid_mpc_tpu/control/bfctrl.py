@@ -29,6 +29,7 @@ from avoid_mpc_tpu.control.geometric import (
     ControllerOutput,
     ControllerParams,
     ThrustModelState,
+    estimate_thrust_model,
     geometric_controller,
     thrust_model_init,
 )
@@ -65,6 +66,10 @@ class BfctrlParams(NamedTuple):
     cmd_timeout: jax.Array  # msg_timeout.cmd (yaml 0.5 s)
     slow_down_timeout: jax.Array
     ctrl_dt: jax.Array  # 1/ctrl_freq_max for the slow-down integrator
+    # thrust_model/update (ctrl_param_fpv_real.yaml:33): run the per-tick
+    # thrust-RLS update off the measured throttle + IMU z accel
+    thrust_update: jax.Array  # bool
+    low_voltage: jax.Array  # declared alarm threshold (BfCtrlParam.cpp:33)
 
     @staticmethod
     def default(dtype=jnp.float32) -> "BfctrlParams":
@@ -75,6 +80,8 @@ class BfctrlParams(NamedTuple):
             cmd_timeout=jnp.asarray(0.5, dtype=dtype),
             slow_down_timeout=jnp.asarray(0.5, dtype=dtype),
             ctrl_dt=jnp.asarray(1.0 / 30.0, dtype=dtype),
+            thrust_update=jnp.asarray(False),
+            low_voltage=jnp.asarray(13.2, dtype=dtype),
         )
 
 
@@ -102,6 +109,42 @@ class CommandInput(NamedTuple):
             yaw=jnp.asarray(0.0, dtype=dtype),
             yaw_rate=jnp.asarray(0.0, dtype=dtype),
             thrust=jnp.asarray(0.0, dtype=dtype),
+            age=jnp.asarray(jnp.inf, dtype=dtype),
+        )
+
+
+class VfrHudInput(NamedTuple):
+    """mavros VFR_HUD + freshness — the actual-throttle telemetry feed
+    (``input.h:126-133``, ``input.cpp:236-244``).  ``throttle`` is the flight
+    controller's currently-applied normalized thrust (``cur_thrust_``), the
+    regressor of the thrust-model RLS (``BfCtrlFSM.cpp:163-167``)."""
+
+    throttle: jax.Array
+    age: jax.Array  # seconds since last message (inf = never)
+
+    @staticmethod
+    def none(dtype=jnp.float32) -> "VfrHudInput":
+        return VfrHudInput(
+            throttle=jnp.asarray(0.0, dtype=dtype),
+            age=jnp.asarray(jnp.inf, dtype=dtype),
+        )
+
+
+class BatteryInput(NamedTuple):
+    """sensor_msgs/BatteryState + freshness (``input.h:100-111``,
+    ``input.cpp:191-205``).  The reference feeds this and declares a
+    ``low_voltage`` param (``BfCtrlParam.cpp:33``) but ships no consumer —
+    mirrored here: carried for telemetry/ops surface only."""
+
+    volt: jax.Array
+    percentage: jax.Array
+    age: jax.Array
+
+    @staticmethod
+    def none(dtype=jnp.float32) -> "BatteryInput":
+        return BatteryInput(
+            volt=jnp.asarray(0.0, dtype=dtype),
+            percentage=jnp.asarray(0.0, dtype=dtype),
             age=jnp.asarray(jnp.inf, dtype=dtype),
         )
 
@@ -202,9 +245,14 @@ def bfctrl_step(
     slow_down_age: jax.Array,
     slow_down_acc: jax.Array,  # (2,) commanded decel x,y
     p: BfctrlParams,
+    imu_a: jax.Array | None = None,  # (3,) body specific force (imu_data.a)
+    vfr: VfrHudInput | None = None,
+    battery: BatteryInput | None = None,
 ):
     """One 50 Hz control tick. Returns (new_state, ControllerOutput, Desired,
-    status int) — the FSM transition table of ``process`` (:17-183)."""
+    status int, hover_percentage) — the FSM transition table of ``process``
+    (:17-183).  ``hover_percentage`` is the live ``gra / thr2acc`` estimate
+    published on ``/bfctrl/statue`` (``BfCtrlFSM.cpp:167,400-407``)."""
     dtype = odom_p.dtype
     yaw_now = yaw_from_quat(odom_q)
     cmd_fresh = cmd.age < p.cmd_timeout
@@ -326,6 +374,25 @@ def bfctrl_step(
         s,
     )
 
+    # STEP2 (:163-167): thrust-model RLS off the measured throttle + IMU z
+    # accel, gated by the enable flag and the on-ground check (:185-193:
+    # throttle below half hover AND nearly stationary)
+    if vfr is None:
+        vfr = VfrHudInput.none(dtype=dtype)
+    if imu_a is None:
+        imu_a = jnp.zeros(3, dtype=dtype)
+    on_ground = (vfr.throttle < p.ctrl.hover_percentage * 0.5) & (
+        jnp.linalg.norm(odom_v) < 0.1
+    )
+    tm_upd = estimate_thrust_model(s.thrust_model, imu_a[2], vfr.throttle)
+    do_rls = p.thrust_update & jnp.logical_not(on_ground)
+    s = s._replace(
+        thrust_model=jax.tree.map(
+            lambda a, b: jnp.where(do_rls, a, b), tm_upd, s.thrust_model
+        )
+    )
+    hover_percentage = p.ctrl.gravity / s.thrust_model.thr2acc
+
     # controller: the command mode only applies in CMD_CTRL (:170-175)
     mode = jnp.where(s.fsm == FSM_CMD_CTRL, des.mode, CMD_POSITION).astype(jnp.int32)
     u = geometric_controller(
@@ -337,4 +404,4 @@ def bfctrl_step(
         [STATUS_INIT, STATUS_MANUAL, STATUS_WAITINGCMD, STATUS_CMD,
          STATUS_TAKEOFF, STATUS_LAND, STATUS_NOODOM]
     )[s.fsm]
-    return s, u, des, status
+    return s, u, des, status, hover_percentage

@@ -36,6 +36,7 @@ from avoid_mpc_tpu.control.bfctrl import (
     BfctrlParams,
     BfctrlState,
     CommandInput,
+    VfrHudInput,
     bfctrl_init,
     bfctrl_step,
 )
@@ -195,6 +196,10 @@ class WorldState(NamedTuple):
     # IMU-estimation path state (active when hyper.use_imu_estimation)
     cog: "COGFilterState"
     imu_bias: jax.Array  # (6,)
+    # previous tick's applied thrust signal — the VFR_HUD ``cur_thrust_``
+    # feed for the thrust-model RLS (input.cpp:236-244: the FC reports the
+    # currently-applied throttle back to bfctrl)
+    prev_thrust: jax.Array
 
 
 class WorldDiag(NamedTuple):
@@ -207,6 +212,7 @@ class WorldDiag(NamedTuple):
     is_safety: jax.Array
     clearance: jax.Array  # analytic distance to the obstacle field
     u_cmd: jax.Array  # (4,) engine acceleration command
+    hover_pct: jax.Array  # live gra/thr2acc estimate (BfCtrlFSM.cpp:400-407)
 
 
 def world_init(
@@ -226,6 +232,7 @@ def world_init(
         key=key,
         cog=cog_filter_init(window=10, dim=3, dtype=dtype),
         imu_bias=jnp.zeros(6, dtype=dtype),
+        prev_thrust=jnp.asarray(0.0, dtype=dtype),
     )
 
 
@@ -279,7 +286,8 @@ def world_step_full(
         x_true = x_true.at[7:10].set(acc_est)
     from avoid_mpc_tpu.utils.quaternion import quat_to_rotmat
 
-    Twb = jnp.eye(4, dtype=dtype).at[:3, :3].set(quat_to_rotmat(ws.plant.q)).at[:3, 3].set(ws.plant.p)
+    R_wb = quat_to_rotmat(ws.plant.q)
+    Twb = jnp.eye(4, dtype=dtype).at[:3, :3].set(R_wb).at[:3, 3].set(ws.plant.p)
     Twc = Twb @ params.Tbc
     depth = render_depth(
         Twc, field, hyper.pcfg, hyper.render_h, hyper.render_w,
@@ -357,12 +365,20 @@ def world_step_full(
     )
 
     # --- 5: bfctrl ---
-    ctrl_new, u, des, status = bfctrl_step(
+    # thrust-RLS feeds (BfCtrlFSM.cpp:163-167): IMU body specific force +
+    # the FC's reported current throttle (= last tick's applied signal).
+    # R^T f as elementwise dots — no einsum (CLAUDE.md rule 1: f32 matmuls
+    # take bf16 MXU passes; this value drives the thrust estimate).
+    spec_f = ws.plant.a_lin + jnp.asarray([0.0, 0.0, 9.81], dtype=dtype)
+    accel_body = jnp.stack([jnp.sum(R_wb[:, i] * spec_f) for i in range(3)])
+    ctrl_new, u, des, status, hover_pct = bfctrl_step(
         ws.ctrl, t, ws.plant.p, ws.plant.v, ws.plant.q, cmd,
         jnp.where(mission == MISSION_LAND, 2, 0).astype(jnp.int32),  # LAND_CMD
         jnp.asarray(0.0, dtype=dtype),
         jnp.asarray(jnp.inf, dtype=dtype), jnp.zeros(2, dtype=dtype),
         params.bfctrl,
+        imu_a=accel_body,
+        vfr=VfrHudInput(throttle=ws.prev_thrust, age=jnp.asarray(0.0, dtype=dtype)),
     )
 
     # --- 6: plant ---
@@ -376,11 +392,13 @@ def world_step_full(
         is_safety=out.is_safety | ~in_task,
         clearance=field_clearance(ws.plant.p, field),
         u_cmd=out.u_cmd,
+        hover_pct=hover_pct,
     )
     return (
         WorldState(
             plant=plant_new, ctrl=ctrl_new, engine=engine_state, map=m,
             mission=mission, t=t, key=key, cog=cog, imu_bias=imu_bias,
+            prev_thrust=u.thrust,
         ),
         diag,
         depth,

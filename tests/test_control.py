@@ -94,21 +94,21 @@ def test_bfctrl_takeoff_to_hover_to_cmd():
     none_tl = jnp.asarray(0, jnp.int32)
 
     # INIT -> AUTO_TAKEOFF
-    s, u, des, status = bfctrl_step(
+    s, u, des, status, _ = bfctrl_step(
         s, **_step_args(0.0, [0, 0, 0], [0, 0, 0], [1, 0, 0, 0]),
         cmd=no_cmd, takeoff_land_cmd=none_tl, takeoff_height_cmd=jnp.asarray(0.0, DT),
         slow_down_age=jnp.asarray(jnp.inf, DT), slow_down_acc=jnp.zeros(2, DT), p=p,
     )
     assert int(s.fsm) == FSM_AUTO_TAKEOFF
     # ramp: desired z grows with time
-    s2, u, des, _ = bfctrl_step(
+    s2, u, des, *_ = bfctrl_step(
         s, **_step_args(1.0, [0, 0, 1.0], [0, 0, 1.0], [1, 0, 0, 0]),
         cmd=no_cmd, takeoff_land_cmd=none_tl, takeoff_height_cmd=jnp.asarray(0.0, DT),
         slow_down_age=jnp.asarray(jnp.inf, DT), slow_down_acc=jnp.zeros(2, DT), p=p,
     )
     assert float(des.p[2]) > 0.5
     # near target height -> AUTO_HOVER, hover latched at current pose
-    s3, u, des, status = bfctrl_step(
+    s3, u, des, status, _ = bfctrl_step(
         s2, **_step_args(1.5, [0, 0, 1.45], [0, 0, 0.5], [1, 0, 0, 0]),
         cmd=no_cmd, takeoff_land_cmd=none_tl, takeoff_height_cmd=jnp.asarray(0.0, DT),
         slow_down_age=jnp.asarray(jnp.inf, DT), slow_down_acc=jnp.zeros(2, DT), p=p,
@@ -121,7 +121,7 @@ def test_bfctrl_takeoff_to_hover_to_cmd():
         a=jnp.asarray([1.0, 0.0, 9.81], dtype=DT),
         age=jnp.asarray(0.0, dtype=DT),
     )
-    s4, u, des, status = bfctrl_step(
+    s4, u, des, status, _ = bfctrl_step(
         s3, **_step_args(1.6, [0, 0, 1.45], [0, 0, 0], [1, 0, 0, 0]),
         cmd=cmd, takeoff_land_cmd=none_tl, takeoff_height_cmd=jnp.asarray(0.0, DT),
         slow_down_age=jnp.asarray(jnp.inf, DT), slow_down_acc=jnp.zeros(2, DT), p=p,
@@ -137,7 +137,7 @@ def test_bfctrl_cmd_timeout_falls_back_to_hover():
     p = BfctrlParams.default(dtype=DT)
     s = bfctrl_init(p)._replace(fsm=jnp.asarray(FSM_CMD_CTRL, jnp.int32))
     stale = CommandInput.none(dtype=DT)._replace(age=jnp.asarray(1.0, dtype=DT))
-    s2, u, des, _ = bfctrl_step(
+    s2, u, des, *_ = bfctrl_step(
         s, **_step_args(5.0, [2, 1, 1.5], [0, 0, 0], [1, 0, 0, 0]),
         cmd=stale, takeoff_land_cmd=jnp.asarray(0, jnp.int32),
         takeoff_height_cmd=jnp.asarray(0.0, DT),
@@ -226,3 +226,54 @@ def test_home_frame_latch():
     _, p_g, q_g, v_g, _ = feed_odom(home, p0, q0, v0, w0, use_global_odom=True)
     np.testing.assert_allclose(np.asarray(p_g), np.asarray(p0))
     np.testing.assert_allclose(np.asarray(q_g), np.asarray(q0))
+
+
+def test_thrust_rls_gating_and_convergence():
+    """Per-tick thrust-RLS wiring (BfCtrlFSM.cpp:163-167): disabled or
+    on-ground ticks leave the model untouched; enabled airborne ticks driven
+    by consistent (throttle, IMU-az) telemetry converge thr2acc to the true
+    plant value and the returned hover_percentage to the true hover point."""
+    from avoid_mpc_tpu.control.bfctrl import VfrHudInput
+
+    p = BfctrlParams.default(dtype=DT)
+    s0 = bfctrl_init(p)._replace(fsm=jnp.asarray(FSM_CMD_CTRL, jnp.int32))
+    cmd = CommandInput.none(dtype=DT)._replace(age=jnp.asarray(0.0, dtype=DT))
+    args = dict(
+        cmd=cmd, takeoff_land_cmd=jnp.asarray(0, jnp.int32),
+        takeoff_height_cmd=jnp.asarray(0.0, DT),
+        slow_down_age=jnp.asarray(jnp.inf, DT), slow_down_acc=jnp.zeros(2, DT),
+    )
+    # true plant: hover at 0.36 throttle -> az = g * thr / 0.36
+    true_hover = 0.36
+    thr = jnp.asarray(0.4, DT)
+    az = jnp.asarray(9.81 * 0.4 / true_hover, DT)
+    imu = jnp.stack([jnp.zeros((), DT), jnp.zeros((), DT), az])
+    vfr = VfrHudInput(throttle=thr, age=jnp.asarray(0.0, DT))
+
+    # update disabled (reference yaml default): model untouched
+    s1, *_ = bfctrl_step(
+        s0, **_step_args(0.0, [0, 0, 1.5], [1.0, 0, 0], [1, 0, 0, 0]),
+        **args, p=p, imu_a=imu, vfr=vfr,
+    )
+    assert float(s1.thrust_model.thr2acc) == float(s0.thrust_model.thr2acc)
+
+    p_on = p._replace(thrust_update=jnp.asarray(True))
+    # enabled but ON GROUND (throttle < hover/2, nearly stationary): no update
+    s2, *_ = bfctrl_step(
+        s0, **_step_args(0.0, [0, 0, 0.0], [0, 0, 0], [1, 0, 0, 0]),
+        **args, p=p_on,
+        imu_a=imu, vfr=VfrHudInput(throttle=jnp.asarray(0.05, DT), age=jnp.asarray(0.0, DT)),
+    )
+    assert float(s2.thrust_model.thr2acc) == float(s0.thrust_model.thr2acc)
+
+    # enabled + airborne: RLS converges to the true thrust curve
+    s = s0
+    for _ in range(60):
+        s, u, des, status, hover_pct = bfctrl_step(
+            s, **_step_args(0.0, [0, 0, 1.5], [1.0, 0, 0], [1, 0, 0, 0]),
+            **args, p=p_on, imu_a=imu, vfr=vfr,
+        )
+    np.testing.assert_allclose(
+        float(s.thrust_model.thr2acc), 9.81 / true_hover, rtol=1e-3
+    )
+    np.testing.assert_allclose(float(hover_pct), true_hover, rtol=1e-3)

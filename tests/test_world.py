@@ -210,3 +210,45 @@ def test_reference_scale_keyframe_map():
     assert int(np.asarray(ws.map.count)) > 1  # multiple keyframes committed
     assert float(np.asarray(diag.clearance).min()) > 0.0  # no collision
     assert p[-1, 0] > 3.0  # made forward progress
+
+
+def test_thrust_rls_recovers_mass_mismatch(world):
+    """Closed loop with the plant's thrust curve 20% off the controller's
+    prior (plant hovers at 0.36 throttle, controller initialized for 0.30 —
+    the battery-sag / mass-error scenario the online RLS exists for,
+    BfCtrlFSM.cpp:163-167 + controller.cpp:180-201).  Without the per-tick
+    update the vehicle tracks altitude with a persistent sag; with it the
+    thrust model converges to the true curve and tracking recovers."""
+    params, hyper = world
+    field = ObstacleField.empty(dtype=DTYPE)
+    true_hover = 0.36
+    params_mm = params._replace(
+        plant=params.plant._replace(
+            hover_percentage=jnp.asarray(true_hover, DTYPE)
+        )
+    )
+
+    def fly(params_v):
+        ws = world_init(
+            CFG, params_v, hyper, jnp.zeros(2, dtype=DTYPE),
+            jax.random.PRNGKey(0), dtype=DTYPE,
+        )
+        fn = jax.jit(lambda ws: rollout_world(ws, field, params_v, hyper, 200))
+        return fn(ws)
+
+    # RLS off (reference yaml default): persistent altitude sag
+    ws_off, diag_off = fly(params_mm)
+    z_err_off = np.abs(np.asarray(diag_off.p)[-40:, 2] - float(params.height))
+    assert z_err_off.min() > 0.12, z_err_off.min()
+
+    # RLS on: thrust model converges, tracking recovers
+    params_on = params_mm._replace(
+        bfctrl=params_mm.bfctrl._replace(thrust_update=jnp.asarray(True))
+    )
+    ws_on, diag_on = fly(params_on)
+    z_err_on = np.abs(np.asarray(diag_on.p)[-40:, 2] - float(params.height))
+    assert z_err_on.max() < 0.08, z_err_on.max()
+    # the live hover-percentage telemetry found the true hover point
+    np.testing.assert_allclose(
+        float(np.asarray(diag_on.hover_pct)[-1]), true_hover, rtol=0.05
+    )
