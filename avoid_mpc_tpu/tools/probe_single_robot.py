@@ -40,6 +40,7 @@ def main():
     from avoid_mpc_tpu.config import EngineConfig
     from avoid_mpc_tpu.sim import ScenarioConfig, random_forest
     from avoid_mpc_tpu.sim.world import build_world, rollout_world, world_init, world_step
+    from avoid_mpc_tpu.utils.profiling import LatencyTracker
 
     chain_k = int(os.environ.get("PROBE_CHAIN", 30))
     ticks_warm = 60  # fly into the TASK phase so the engine path is hot
@@ -49,31 +50,45 @@ def main():
     field = random_forest(jax.random.PRNGKey(11), ScenarioConfig(n_cylinders=24))
     ws = world_init(cfg, params, hyper, jnp.zeros(2), jax.random.PRNGKey(5))
 
-    roll = jax.jit(lambda ws: rollout_world(ws, field, params, hyper, chain_k)[0])
-    step1 = jax.jit(lambda ws: world_step(ws, field, params, hyper)[0])
+    # decay is a TRACED argument fed from measured latency each dispatch
+    # (AvoidanceStateMachine.cpp:329-343) — not baked into the closure
+    roll = jax.jit(
+        lambda ws, d: rollout_world(
+            ws, field, params._replace(decay=d), hyper, chain_k
+        )[0]
+    )
+    step1 = jax.jit(
+        lambda ws, d: world_step(ws, field, params._replace(decay=d), hyper)[0]
+    )
+    tracker = LatencyTracker(init=float(cfg.mpc.decay))
+    decay = lambda: jnp.asarray(min(tracker.decay, 0.1), jnp.float32)
 
     t0 = time.time()
-    ws = jax.block_until_ready(roll(ws))  # compile + fly into TASK
+    ws = jax.block_until_ready(roll(ws, decay()))  # compile + fly into TASK
     compile_s = time.time() - t0
     while ticks_warm > chain_k:
-        ws = roll(ws)
+        ws = roll(ws, decay())
         ticks_warm -= chain_k
     ws = jax.block_until_ready(ws)
 
     t0 = time.time()
-    ws1 = jax.block_until_ready(step1(ws))
+    ws1 = jax.block_until_ready(step1(ws, decay()))
     compile_single_s = time.time() - t0
 
     lat_chain = []
     for _ in range(5):
         t0 = time.time()
-        ws = jax.block_until_ready(roll(ws))
-        lat_chain.append((time.time() - t0) / chain_k)
+        ws = jax.block_until_ready(roll(ws, decay()))
+        dt_s = time.time() - t0
+        tracker.update(dt_s / chain_k)
+        lat_chain.append(dt_s / chain_k)
     lat_single = []
     for _ in range(5):
         t0 = time.time()
-        ws1 = jax.block_until_ready(step1(ws1))
-        lat_single.append(time.time() - t0)
+        ws1 = jax.block_until_ready(step1(ws1, decay()))
+        dt_s = time.time() - t0
+        tracker.update(dt_s)
+        lat_single.append(dt_s)
 
     import numpy as np
 
@@ -91,6 +106,7 @@ def main():
         "points_per_frame": int(hyper.map_shape.points_per_frame),
         "horizon": int(hyper.engine.n),
         "outer_iters": int(hyper.engine.max_outer_iters),
+        "decay_final_ms": round(min(tracker.decay, 0.1) * 1e3, 3),
         "compile_s": round(compile_s, 1),
         "compile_single_s": round(compile_single_s, 1),
         "mission": int(ws.mission),

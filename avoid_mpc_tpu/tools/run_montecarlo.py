@@ -4,8 +4,15 @@ Where the reference launches four processes and records rosbags
 (``launch/mpc_obstacle_avoidance_sim.launch``), this runner executes a fleet
 of fully-simulated closed-loop scenarios (rendered depth -> rolling map ->
 MPC engine -> bfctrl -> 6-DoF plant) as one jitted, vmapped, optionally
-mesh-sharded program, tracks latency (feeding the measured decay back like
-``AvoidanceStateMachine.cpp:329-343``), and writes an npz "bag" + summary.
+mesh-sharded program, and writes an npz "bag" + summary.
+
+Latency feedback (``AvoidanceStateMachine.cpp:329-343``): the reference
+measures each solve's wall time and uses it as the next state-prediction
+lookahead.  Here ``decay`` is a TRACED per-dispatch argument (not baked
+into the jitted closure): each chunk runs with the LatencyTracker's current
+EWMA of measured per-tick wall time (seeded with the config's decay,
+clamped to 100 ms so a cold-compile chunk cannot poison the lookahead),
+updated from the previous chunk's measurement — no recompilation.
 
 Usage:
   python -m avoid_mpc_tpu.tools.run_montecarlo --batch 64 --ticks 300 \
@@ -94,11 +101,16 @@ def main(argv=None):
     ws = jax.vmap(lambda s, k: world_init(cfg, params, hyper, s, k))(starts, keys)
 
     step_chunk = jax.jit(
-        jax.vmap(lambda w, f: rollout_world(w, f, params, hyper, args.chunk))
+        jax.vmap(
+            lambda w, f, d: rollout_world(
+                w, f, params._replace(decay=d), hyper, args.chunk
+            ),
+            in_axes=(0, 0, None),
+        )
     )
 
     rec = FlightRecorder(os.path.join(args.out, "campaign.npz"), config=cfg)
-    tracker = LatencyTracker()
+    tracker = LatencyTracker(init=float(cfg.mpc.decay))
     n_chunks = max(args.ticks // args.chunk, 1)
 
     # running per-scenario minimum clearance over the WHOLE flight (the
@@ -107,7 +119,8 @@ def main(argv=None):
     ctx = trace(args.profile) if args.profile else _nullcontext()
     with ctx:
         for i in range(n_chunks):
-            (ws, diag), dt_s = timed(step_chunk, ws, fields)
+            decay = jnp.asarray(min(tracker.decay, 0.1), jnp.float32)
+            (ws, diag), dt_s = timed(step_chunk, ws, fields, decay)
             tracker.update(dt_s / args.chunk)
             rec.record(jax.tree.map(lambda a: np.asarray(a[:, -1]), diag))
             p = np.asarray(diag.p)
@@ -127,6 +140,7 @@ def main(argv=None):
         "tick_ms_ewma": tracker.ewma * 1e3,
         # tracker samples are already per-tick (update divides by chunk)
         "tick_ms_p50": tracker.percentile(50) * 1e3,
+        "decay_final_ms": round(min(tracker.decay, 0.1) * 1e3, 3),
         "final_x_mean": float(np.asarray(diag.p)[:, -1, 0].mean()),
         "min_clearance": float(min_clear.min()),
         "collisions": int((min_clear <= 0.0).sum()),

@@ -252,3 +252,48 @@ def test_thrust_rls_recovers_mass_mismatch(world):
     np.testing.assert_allclose(
         float(np.asarray(diag_on.hover_pct)[-1]), true_hover, rtol=0.05
     )
+
+
+def test_decay_feedback_traced(world):
+    """Latency-compensation decay is a per-dispatch TRACED value, not a
+    constant baked into the jitted closure (AvoidanceStateMachine.cpp:329-343:
+    the reference feeds each solve's measured wall time back as the next
+    prediction lookahead).  Changing decay must shift the latency-compensated
+    state x_pred by v*d + a*d^2/2 WITHOUT recompiling, and the LatencyTracker
+    host feed must converge to an injected latency."""
+    from avoid_mpc_tpu.sim.world import world_step_full
+    from avoid_mpc_tpu.utils.profiling import LatencyTracker
+
+    params, hyper = world
+    field = ObstacleField.empty(dtype=DTYPE)
+    ws = world_init(
+        CFG, params, hyper, jnp.zeros(2, dtype=DTYPE), jax.random.PRNGKey(0),
+        dtype=DTYPE,
+    )
+    v = jnp.asarray([3.0, 0.5, 0.0], DTYPE)
+    a = jnp.asarray([0.5, -0.2, 0.0], DTYPE)
+    ws = ws._replace(plant=ws.plant._replace(v=v, a_lin=a))
+
+    step = jax.jit(
+        lambda ws, d: world_step_full(
+            ws, field, params._replace(decay=d), hyper
+        )[4]
+    )
+    x0_pred = step(ws, jnp.asarray(0.0, DTYPE))
+    x1_pred = step(ws, jnp.asarray(0.1, DTYPE))
+    d = 0.1
+    np.testing.assert_allclose(
+        np.asarray(x1_pred[0:3] - x0_pred[0:3]),
+        np.asarray(v * d + 0.5 * a * d * d), rtol=1e-6, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x1_pred[4:7] - x0_pred[4:7]), np.asarray(a * d),
+        rtol=1e-6, atol=1e-9,
+    )
+    assert step._cache_size() == 1  # traced arg: one executable, no rebake
+
+    # host feed: the tracker's decay converges to the injected latency
+    tracker = LatencyTracker(init=0.015)
+    for _ in range(60):
+        tracker.update(0.031)
+    np.testing.assert_allclose(tracker.decay, 0.031, rtol=1e-3)
