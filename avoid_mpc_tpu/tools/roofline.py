@@ -1,16 +1,27 @@
-"""Roofline analysis for the headline MPC solve step.
+"""Roofline analysis for the headline MPC solve step (fused-solver era).
 
-AOT-compiles the exact bench.py step (batch x horizon x 10 SQP iters) and
-reads XLA's own cost model (``compiled.cost_analysis()``: flops + bytes
-accessed) to bound the best achievable per-step device time on this chip
-and on a v5p host:
+The round-2 phase-split program was HBM-bound (21.1 GB/step); the fused
+Pallas solve (solver/pallas_sqp.py) moved all intermediates to VMEM, so the
+program's floor is now set by *VPU instruction issue*, not bandwidth.  XLA's
+``compiled.cost_analysis()`` cannot see inside a Pallas custom call — its
+flops AND bytes for the fused op are opaque-op guesswork — so this tool
+tallies both sides analytically (ADVICE r3):
 
-    t_min = max(flops / peak_flops, bytes / hbm_bandwidth)
+  * ``pallas_io_bytes``   the fused call's real HBM footprint: operands in,
+                          trajectory out (everything else lives in VMEM),
+  * ``pallas_vpu_flops``  an itemized bookkeeping count of the kernel's
+                          elementwise math (FMA = 2 flops; +-20% is inherent
+                          — transcendentals, masks and compares are charged
+                          small constants).  These are VPU flops: the kernel
+                          issues no MXU ops by design (CLAUDE.md rule 1).
 
-This answers BASELINE.md's "<10 ms p50" north-star question with hardware
-arithmetic instead of hope.  Peak numbers are the published per-chip specs
-(v5e: 197 TFLOP/s bf16 MXU, f32 runs as 3-pass bf16 so ~1/3 effective;
-819 GB/s HBM.  v5p: 459 TFLOP/s bf16, 2765 GB/s HBM).
+and classifies each chip against three ceilings:
+
+    t_min = max(vpu_flops / peak_vpu, xla_flops / peak_mxu, bytes / hbm)
+
+Peaks: v5e MXU 197 TFLOP/s bf16 (f32 ~1/3), VPU 8x128x4 ALUs @ 940 MHz
+(FMA -> ~7.7 TFLOP/s f32); HBM 819 GB/s.  v5p: 459 TFLOP/s bf16, 2 cores
+-> VPU ~2x at 1.75 GHz (~28 TFLOP/s), HBM 2765 GB/s.
 
 Usage: ``timeout 900 python avoid_mpc_tpu/tools/roofline.py`` (TPU;
 compile served from ``.jax_cache`` after a bench.py run).
@@ -29,10 +40,71 @@ _REPO = os.path.dirname(
 sys.path.insert(0, _REPO)
 
 CHIPS = {
-    # name: (peak f32-effective FLOP/s on MXU, HBM bytes/s)
-    "v5e": (197e12 / 3.0, 819e9),
-    "v5p": (459e12 / 3.0, 2765e9),
+    # name: (peak f32-effective MXU FLOP/s, peak f32 VPU FLOP/s, HBM bytes/s)
+    "v5e": (197e12 / 3.0, 8 * 128 * 4 * 0.94e9 * 2, 819e9),
+    "v5p": (459e12 / 3.0, 2 * 8 * 128 * 4 * 1.75e9 * 2, 2765e9),
 }
+
+NX, NU = 10, 4
+
+
+def fused_solve_vpu_flops(
+    n: int, n_obs: int, iters: int, n_alphas: int, bq_iters: int
+) -> float:
+    """Itemized per-scenario flop count of solver/pallas_sqp.py (FMA = 2).
+
+    Mirrors the kernel's structure: per SQP iteration one backward sweep
+    (inline linearization + Riccati + box QP per stage) and n_alphas+1
+    closed-loop rollout candidates; plus the warm-start rollout and the
+    final certificate sweep.  Bookkeeping floor, not gospel (+-20%).
+    """
+    # --- Riccati stage (riccati_step) ---
+    contractions = 2 * (
+        NX * NX  # Qx
+        + NX * NU  # Qu
+        + NX**3  # T1
+        + NX**3  # Qxx
+        + NX * NX * NU + NX * NU  # BtW + reg correction
+        + NX * NX * NU  # QuxT
+        + NX * NU * NU  # Quu
+    )
+    gains = 2 * (NX * NU * NU) + NX * NU  # KT
+    gains += 2 * (NX * NU * NU)  # M1T
+    value = 2 * (2 * NU * NX)  # Vx_new
+    value += 2 * (3 * NU * NX) * NX + 2 * NX * NX  # Vxx rows + symmetrize
+    inv4 = 170  # cofactor 4x4 inverse
+    mv4 = 2 * NU * NU
+    boxqp = bq_iters * (
+        mv4 + NU  # gradient
+        + 6 * NU  # clamp masks
+        + 3 * NU * NU  # masked Hff
+        + inv4
+        + mv4 + 2 * NU  # dz
+        + 4 * (mv4 + 4 * NU)  # objective at z + 3 step candidates
+    ) + (mv4 + 6 * NU)  # final free set
+    misc = 2 * NX * NX + 2 * NX + 60  # W adds, lu, dV, pg
+    riccati = contractions + gains + value + inv4 + 3 * NU * NU + boxqp + misc
+
+    # --- inline linearization (linearize_interior) ---
+    linearize = 150 + n_obs * 300
+
+    # --- closed-loop rollout, per stage per candidate (ls_rollout) ---
+    rollout_stage = (
+        2 * NX * (NX + NU) + NX  # step_x
+        + 2 * NX * NU + NX  # K feedback
+        + 4 * NU  # alpha step + clip
+        + 4 * NU  # control cost
+        + 10 * NX + n_obs * 30  # node cost
+    )
+
+    backward = n * (riccati + linearize)
+    per_iter = backward + n * rollout_stage * (n_alphas + 1) + 2 * n * (NX + NU)
+    total = (
+        n * rollout_stage  # warm-start rollout
+        + iters * per_iter
+        + backward  # final certificate sweep
+    )
+    return float(total)
 
 
 def main():
@@ -43,12 +115,16 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_problem_batch, _solve_step_fn
+    from avoid_mpc_tpu.solver import SolverHyper
 
     b = int(os.environ.get("BENCH_BATCH", 4096))
     n_pts = int(os.environ.get("BENCH_POINTS", 1024))
+    sqp_iters = 10
     dtype = jnp.float32
-    step, cfg = _solve_step_fn(dtype)
+    step, cfg = _solve_step_fn(dtype, sqp_iters=sqp_iters)
     n = cfg.horizon_steps
+    hp = SolverHyper(iters=sqp_iters)
+    k_nn = 3
     x0, ref, target, pts, mask = _build_problem_batch(b, n, n_pts, dtype)
     us = jnp.zeros((b, n, 4), dtype=dtype).at[:, :, 2].set(9.81)
 
@@ -61,22 +137,24 @@ def main():
     flops = float(ca.get("flops", 0.0))
     bw_bytes = float(ca.get("bytes accessed", 0.0))
 
-    # XLA's cost model cannot see inside Pallas custom calls: round-2 traces
-    # showed it charging the fused solve ~18 GB while the op's real HBM
-    # footprint is its operands + results (everything else lives in VMEM for
-    # the kernel's whole lifetime).  Tally that honest floor analytically:
-    # every jitted-program input/output once, plus both Pallas calls' I/O.
+    # Honest HBM floor: every jitted-program input/output once, plus the
+    # fused solve custom call's operands/results.  Shapes derived from the
+    # actual config (ADVICE r3: no hardcoded query counts).
     sz = lambda *shapes: sum(
         4 * int(jnp.prod(jnp.asarray(s))) for s in shapes
     )
-    solve_io = sz((b, 10), (b, n, 4), (b, n, 10), (b, n, 3, 3), (b, 10),
-                  (n, 4, b), (n + 1, 10, b), (3, b))
-    knn_io = sz((b, 20, 3), (b, n_pts, 3), (b, n_pts),  # queries/pts/mask
-                (20, 3, b), (3, 20, 3, b))  # dists + coords out
+    solve_io = sz((b, NX), (b, n, NU), (b, n, NX), (b, n, k_nn, 3), (b, NX),
+                  (n, NU, b), (n + 1, NX, b), (3, b))
+    knn_io = sz((b, n, 3), (b, n_pts, 3), (b, n_pts),  # queries/pts/mask
+                (n, k_nn, b), (3, n, k_nn, b))  # dists + coords out
     pallas_io_bytes = float(solve_io + knn_io)
+    vpu_flops = b * fused_solve_vpu_flops(
+        n, k_nn, sqp_iters, hp.n_alphas, hp.boxqp_iters
+    )
 
-    # measured: K chained data-dependent steps in one dispatch (single
-    # dispatches through the axon tunnel hide behind the async client)
+    # measured: K chained data-dependent steps per dispatch (single
+    # dispatches through the axon tunnel hide behind the async client);
+    # each rep timed separately -> a real p50 (ADVICE r3)
     K = 8
     def chain(x0, ref, target, pts, mask, us):
         def body(carry, _):
@@ -88,37 +166,48 @@ def main():
     fc = jax.jit(chain)
     import numpy as np
     jax.block_until_ready(fc(x0, ref, target, pts, mask, us))
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        np.asarray(jax.block_until_ready(fc(x0, ref, target, pts, mask, us)))
-    measured_ms = (time.time() - t0) / (reps * K) * 1e3
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(fc(x0, ref, target, pts, mask, us))
+        ts.append((time.time() - t0) / K)
+    measured_p50_ms = float(np.percentile(ts, 50)) * 1e3
 
     out = {
         "metric": "roofline_mpc_step",
         "batch": b,
         "horizon": n,
         "cloud_points": n_pts,
-        "sqp_iters": 10,
-        "flops": flops,
+        "sqp_iters": sqp_iters,
+        "flops_xla_cost_model": flops,
         "bytes_accessed_xla_cost_model": bw_bytes,
-        "bytes_accessed_note": (
-            "XLA's estimate for the two Pallas custom calls is opaque-op "
-            "guesswork; their real HBM footprint is pallas_io_bytes"
+        "note": (
+            "XLA's cost model cannot see inside the fused Pallas call: its "
+            "flops AND bytes for that op are guesswork.  pallas_vpu_flops / "
+            "pallas_io_bytes are the analytic tallies (flops +-20% "
+            "bookkeeping; FMA=2, VPU-only by kernel design)."
         ),
         "pallas_io_bytes": pallas_io_bytes,
-        "measured_p50_step_ms": round(measured_ms, 2),
+        "pallas_vpu_flops": vpu_flops,
+        "arithmetic_intensity_flops_per_byte": round(
+            vpu_flops / pallas_io_bytes, 1
+        ),
+        "measured_p50_step_ms": round(measured_p50_ms, 2),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }
-    for name, (peak_flops, hbm) in CHIPS.items():
-        t_flops = flops / peak_flops
+    for name, (peak_mxu, peak_vpu, hbm) in CHIPS.items():
+        t_mxu = flops / peak_mxu
+        t_vpu = vpu_flops / peak_vpu
         t_bytes = pallas_io_bytes / hbm
+        t_min = max(t_mxu, t_vpu, t_bytes)
+        bound = {t_mxu: "mxu", t_vpu: "vpu", t_bytes: "memory"}[t_min]
         out[name] = {
-            "t_compute_ms": round(t_flops * 1e3, 3),
+            "t_mxu_ms": round(t_mxu * 1e3, 3),
+            "t_vpu_ms": round(t_vpu * 1e3, 3),
             "t_memory_ms": round(t_bytes * 1e3, 3),
-            "t_min_ms": round(max(t_flops, t_bytes) * 1e3, 3),
-            "bound": "memory" if t_bytes > t_flops else "compute",
+            "t_min_ms": round(t_min * 1e3, 3),
+            "bound": bound,
         }
     print(json.dumps(out), flush=True)
 
