@@ -77,7 +77,16 @@ def main(argv=None):
 
     cfg = MPCConfig(mpc_T=0.66)
     sp = SolverParams.from_config(cfg)
-    mesh = make_mesh()
+    # 2-wide 'points' axis when the device count allows: the world-cloud
+    # k-NN below then all_gathers across a REAL sharded axis.  Device order
+    # interleaves the halves of the global device list so each points pair
+    # spans them — in the 2-process topology that makes the all_gather a
+    # genuine cross-process (DCN/Gloo) collective, not an intra-host one.
+    n_pt = 2 if jax.device_count() % 2 == 0 else 1
+    devs = np.asarray(jax.devices())
+    if n_pt == 2:
+        devs = devs.reshape(2, -1).T.reshape(-1)
+    mesh = make_mesh(n_point_shards=n_pt, devices=devs)
     b = args.batch
     x0, ref, target, pts, mask = _build_problem_batch(b, cfg.horizon_steps, args.points, jnp.float32)
     us = jnp.zeros((b, cfg.horizon_steps, 4), jnp.float32).at[:, :, 2].set(9.81)
@@ -105,10 +114,38 @@ def main(argv=None):
     res = shard_solve(mesh, problems, us, sp, SolverHyper())
     mean_cost, conv = sharded_metrics(mesh, res.cost, res.converged)
     mean_cost, conv = float(mean_cost), float(conv)
+
+    # points-sharded world-cloud k-NN: one big cloud split over the 'points'
+    # mesh axis, per-shard top-k all_gathered and merged (parallel/mesh.py).
+    # Every process builds the same deterministic cloud and donates the rows
+    # it owns; the replicated result is checksummed so the test can compare
+    # process topologies bit-for-bit.
+    from avoid_mpc_tpu.parallel import knn_sharded_points
+
+    world_np = np.asarray(pts).reshape(-1, 3)[: 2048 * n_pt]
+    wmask_np = np.ones(world_np.shape[0], bool)
+    queries_np = np.asarray(x0[:64, 0:3])
+    if nproc > 1:
+        sh_pts = NamedSharding(mesh, P("points"))
+        sh_rep = NamedSharding(mesh, P())
+        world = jax.make_array_from_callback(
+            world_np.shape, sh_pts, lambda idx: world_np[idx]
+        )
+        wmask = jax.make_array_from_callback(
+            wmask_np.shape, sh_pts, lambda idx: wmask_np[idx]
+        )
+        queries = jax.make_array_from_callback(
+            queries_np.shape, sh_rep, lambda idx: queries_np[idx]
+        )
+    else:
+        world, wmask, queries = map(jnp.asarray, (world_np, wmask_np, queries_np))
+    ds, _ = knn_sharded_points(mesh, queries, world, wmask, k=3)
+    knn_checksum = float(jnp.sum(jax.device_get(ds)))
     if pid == 0:
         print(
             f"hosts={nproc} devices={jax.device_count()} batch={b} "
-            f"mean_cost={mean_cost:.3f} converged={conv:.2f}"
+            f"mean_cost={mean_cost:.3f} converged={conv:.2f} "
+            f"knn_checksum={knn_checksum:.6f}"
         )
         if args.out:
             import json
@@ -122,6 +159,8 @@ def main(argv=None):
                         "batch": b,
                         "mean_cost": mean_cost,
                         "converged_frac": conv,
+                        "knn_sharded_checksum": knn_checksum,
+                        "point_shards": n_pt,
                     },
                     f,
                 )

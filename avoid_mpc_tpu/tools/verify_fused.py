@@ -97,6 +97,7 @@ def main(argv=None):
 
     assert mode == "--tpu"
     assert jax.devices()[0].platform != "cpu", jax.devices()
+    dump = argv[2] if len(argv) > 2 else None  # per-scenario npz (diagnosis)
     gold = np.load(path)
     gconv = float(gold["converged"].mean())
     print(
@@ -108,6 +109,12 @@ def main(argv=None):
     res = jax.block_until_ready(solve_batched(problems, us0, sp, hp))
     us, cost = np.asarray(res.us), np.asarray(res.cost)
     conv = float(np.asarray(res.converged).mean())
+    if dump:
+        np.savez(
+            dump, us=us, cost=cost,
+            grad_norm=np.asarray(res.grad_norm),
+            converged=np.asarray(res.converged),
+        )
 
     # Acceptance calibrated against the on-chip *per-phase* kernels run on
     # the same golden (the semantically-identical known-good path): that run

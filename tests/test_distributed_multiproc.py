@@ -107,6 +107,14 @@ def test_two_process_metrics_match_single_process(tmp_path):
     np.testing.assert_allclose(
         multi["converged_frac"], single["converged_frac"], atol=1e-6
     )
+    # the points-sharded world-cloud k-NN ran with its all_gather spanning
+    # the process boundary (device interleave in distributed.py) and merged
+    # to the same global top-k as the single-process mesh
+    assert multi["point_shards"] == 2
+    np.testing.assert_allclose(
+        multi["knn_sharded_checksum"], single["knn_sharded_checksum"],
+        rtol=1e-6,
+    )
 
     with open(os.path.join(REPO, "MULTIPROC.json"), "w") as f:
         json.dump({"single_process": single, "two_process": multi}, f, indent=1)
