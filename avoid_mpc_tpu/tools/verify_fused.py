@@ -126,6 +126,17 @@ def main(argv=None):
     # The right tests: (a) the bulk of scenarios agree tightly (p95), (b)
     # the on-chip solution quality is not systematically worse than the CPU
     # golden, (c) the convergence certificate tracks the golden's own rate.
+    #
+    # The max|du0| ~ 0.8 outlier is DIAGNOSED (round 4, tools/
+    # diagnose_fused_outlier.py + the --dump per-scenario analysis): it is
+    # budget truncation, not a kernel defect.  The worst scenario (#190 of
+    # the default set) is unconverged in BOTH solvers at the parity budget
+    # (10 iters = the reference's IPOPT max_iter); even CPU-interpret vs
+    # CPU-XLA — same machine fp — forks to |du0| 0.58 there, because a
+    # sub-ulp cost difference flips one late Armijo selection between two
+    # near-equal candidates mid-descent.  Run to 30 iterations the two
+    # paths land on the SAME solution (rel dcost 3.4e-7, |du0| 0.009).
+    # All other |du0|>0.01 scenarios agree in cost to <=2.3e-4.
     dc = np.abs(cost - gold["cost"]) / np.maximum(np.abs(gold["cost"]), 1.0)
     du0 = np.abs(us[:, 0] - gold["us"][:, 0]).max(axis=1)  # per-scenario (B,)
     quality = (cost - gold["cost"]) / np.maximum(np.abs(gold["cost"]), 1.0)
