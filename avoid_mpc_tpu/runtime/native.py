@@ -363,10 +363,71 @@ class MavlinkCodec:
             self._parser = None
 
 
+def _bind_mavconn(lib):
+    """Declare the mav_conn_* ctypes signatures once per loaded lib."""
+    if hasattr(lib, "_mavconn_bound"):
+        return
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.mav_conn_create.restype = ctypes.c_void_p
+    lib.mav_conn_create.argtypes = [
+        ctypes.c_uint16, ctypes.c_char_p, ctypes.c_uint16,
+        ctypes.c_uint8, ctypes.c_uint8,
+    ]
+    lib.mav_conn_destroy.argtypes = [ctypes.c_void_p]
+    lib.mav_conn_create_tcp_server.restype = ctypes.c_void_p
+    lib.mav_conn_create_tcp_server.argtypes = [
+        ctypes.c_uint16, ctypes.c_double, ctypes.c_uint8,
+        ctypes.c_uint8,
+    ]
+    lib.mav_conn_create_tcp_client.restype = ctypes.c_void_p
+    lib.mav_conn_create_tcp_client.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint16, ctypes.c_double,
+        ctypes.c_uint8, ctypes.c_uint8,
+    ]
+    lib.mav_conn_send_heartbeat.argtypes = [ctypes.c_void_p]
+    lib.mav_conn_set_attitude_target.restype = ctypes.c_int
+    lib.mav_conn_set_attitude_target.argtypes = [
+        ctypes.c_void_p, f32p, f32p, ctypes.c_float, ctypes.c_uint8,
+        ctypes.c_int,
+    ]
+    lib.mav_conn_send_attitude.restype = ctypes.c_int
+    lib.mav_conn_send_attitude.argtypes = [
+        ctypes.c_void_p, ctypes.c_float, f32p, f32p,
+    ]
+    lib.mav_conn_send_local_position.restype = ctypes.c_int
+    lib.mav_conn_send_local_position.argtypes = [
+        ctypes.c_void_p, ctypes.c_float, f32p, f32p,
+    ]
+    lib.mav_conn_send_command_long.restype = ctypes.c_int
+    lib.mav_conn_send_command_long.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_uint16, ctypes.c_uint8,
+        ctypes.c_uint8,
+    ]
+    lib.mav_conn_start_streams.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+    ]
+    lib.mav_conn_heartbeat_age.restype = ctypes.c_double
+    lib.mav_conn_heartbeat_age.argtypes = [ctypes.c_void_p]
+    lib.mav_conn_link_ok.restype = ctypes.c_int
+    lib.mav_conn_link_ok.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.mav_conn_stats.argtypes = [ctypes.c_void_p, u64p]
+    for name in ("mav_conn_attitude", "mav_conn_local_position",
+                 "mav_conn_attitude_target", "mav_conn_command_long"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, f32p]
+    lib._mavconn_bound = True
+
+
 class MavConnection:
-    """Live MAVLink UDP endpoint (runtime/mavlink_conn.cpp): socket + receive
+    """Live MAVLink endpoint (runtime/mavlink_conn.cpp): socket + receive
     thread + typed vehicle-state latches + heartbeat watchdog + periodic
     HEARTBEAT / SET_ATTITUDE_TARGET streams on the native scheduler.
+    Transports: point-to-point UDP (the constructor) and TCP server/client
+    (:meth:`tcp_server` / :meth:`tcp_client`) — the connectLocalTcp /
+    connectRemoteTcp surface of the reference's MavLinkCom; serial stays
+    hardware-only scope (PARITY.md).
 
     The MavLinkConnection/MavLinkVehicle role of the reference's MavLinkCom
     (MavLinkCom/src/MavLinkConnection.cpp, MavLinkVehicle.cpp), whose typed
@@ -377,53 +438,44 @@ class MavConnection:
                  sysid: int = 255, compid: int = 0):
         self._lib = _load()
         lib = self._lib
-        if not hasattr(lib, "_mavconn_bound"):
-            f32p = ctypes.POINTER(ctypes.c_float)
-            u64p = ctypes.POINTER(ctypes.c_uint64)
-            lib.mav_conn_create.restype = ctypes.c_void_p
-            lib.mav_conn_create.argtypes = [
-                ctypes.c_uint16, ctypes.c_char_p, ctypes.c_uint16,
-                ctypes.c_uint8, ctypes.c_uint8,
-            ]
-            lib.mav_conn_destroy.argtypes = [ctypes.c_void_p]
-            lib.mav_conn_send_heartbeat.argtypes = [ctypes.c_void_p]
-            lib.mav_conn_set_attitude_target.restype = ctypes.c_int
-            lib.mav_conn_set_attitude_target.argtypes = [
-                ctypes.c_void_p, f32p, f32p, ctypes.c_float, ctypes.c_uint8,
-                ctypes.c_int,
-            ]
-            lib.mav_conn_send_attitude.restype = ctypes.c_int
-            lib.mav_conn_send_attitude.argtypes = [
-                ctypes.c_void_p, ctypes.c_float, f32p, f32p,
-            ]
-            lib.mav_conn_send_local_position.restype = ctypes.c_int
-            lib.mav_conn_send_local_position.argtypes = [
-                ctypes.c_void_p, ctypes.c_float, f32p, f32p,
-            ]
-            lib.mav_conn_send_command_long.restype = ctypes.c_int
-            lib.mav_conn_send_command_long.argtypes = [
-                ctypes.c_void_p, f32p, ctypes.c_uint16, ctypes.c_uint8,
-                ctypes.c_uint8,
-            ]
-            lib.mav_conn_start_streams.argtypes = [
-                ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
-            ]
-            lib.mav_conn_heartbeat_age.restype = ctypes.c_double
-            lib.mav_conn_heartbeat_age.argtypes = [ctypes.c_void_p]
-            lib.mav_conn_link_ok.restype = ctypes.c_int
-            lib.mav_conn_link_ok.argtypes = [ctypes.c_void_p, ctypes.c_double]
-            lib.mav_conn_stats.argtypes = [ctypes.c_void_p, u64p]
-            for name in ("mav_conn_attitude", "mav_conn_local_position",
-                         "mav_conn_attitude_target", "mav_conn_command_long"):
-                fn = getattr(lib, name)
-                fn.restype = ctypes.c_int
-                fn.argtypes = [ctypes.c_void_p, f32p]
-            lib._mavconn_bound = True
+        _bind_mavconn(lib)
         self._ptr = lib.mav_conn_create(
             local_port, remote_host.encode(), remote_port, sysid, compid
         )
         if not self._ptr:
             raise OSError(f"mav_conn_create failed (port {local_port})")
+
+    @classmethod
+    def tcp_server(cls, port: int, timeout_s: float = 5.0,
+                   sysid: int = 1, compid: int = 1) -> "MavConnection":
+        """Listen on ``port`` and block up to ``timeout_s`` for ONE peer
+        (MavLinkCom connectLocalTcp semantics)."""
+        lib = _load()
+        _bind_mavconn(lib)
+        ptr = lib.mav_conn_create_tcp_server(port, timeout_s, sysid, compid)
+        if not ptr:
+            raise OSError(f"mav_conn_create_tcp_server failed (port {port})")
+        self = cls.__new__(cls)
+        self._lib = lib
+        self._ptr = ptr
+        return self
+
+    @classmethod
+    def tcp_client(cls, host: str, port: int, timeout_s: float = 5.0,
+                   sysid: int = 255, compid: int = 0) -> "MavConnection":
+        """Connect to ``host:port``, retrying until ``timeout_s``
+        (MavLinkCom connectRemoteTcp semantics)."""
+        lib = _load()
+        _bind_mavconn(lib)
+        ptr = lib.mav_conn_create_tcp_client(
+            host.encode(), port, timeout_s, sysid, compid
+        )
+        if not ptr:
+            raise OSError(f"mav_conn_create_tcp_client failed ({host}:{port})")
+        self = cls.__new__(cls)
+        self._lib = lib
+        self._ptr = ptr
+        return self
 
     def send_heartbeat(self):
         self._lib.mav_conn_send_heartbeat(self._ptr)

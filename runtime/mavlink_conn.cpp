@@ -21,6 +21,7 @@
 
 #include <arpa/inet.h>
 #include <netinet/in.h>
+#include <netinet/tcp.h>
 #include <sys/socket.h>
 #include <sys/time.h>
 #include <unistd.h>
@@ -87,6 +88,7 @@ inline void expand(const uint8_t* payload, uint8_t plen, uint8_t* full,
 
 struct Conn {
     int fd = -1;
+    bool is_stream = false;  // TCP: connected socket, send() not sendto()
     sockaddr_in remote{};
     uint8_t sysid, compid;
     std::atomic<uint8_t> seq{0};
@@ -193,10 +195,30 @@ void rx_loop(Conn* c) {
 }
 
 int send_frame(Conn* c, const uint8_t* frame, int len) {
-    ssize_t n = sendto(c->fd, frame, static_cast<size_t>(len), 0,
-                       reinterpret_cast<const sockaddr*>(&c->remote),
-                       sizeof(c->remote));
+    ssize_t n;
+    if (c->is_stream) {
+        n = send(c->fd, frame, static_cast<size_t>(len), MSG_NOSIGNAL);
+    } else {
+        n = sendto(c->fd, frame, static_cast<size_t>(len), 0,
+                   reinterpret_cast<const sockaddr*>(&c->remote),
+                   sizeof(c->remote));
+    }
     return n == len ? 0 : -1;
+}
+
+Conn* wrap_stream_fd(int fd, uint8_t sysid, uint8_t compid) {
+    timeval tv{0, 50 * 1000};  // 50 ms rx poll so stop() is prompt
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    int one = 1;
+    setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    auto* c = new Conn();
+    c->fd = fd;
+    c->is_stream = true;
+    c->sysid = sysid;
+    c->compid = compid;
+    c->parser = mavlink_parser_create();
+    c->rx_thread = std::thread(rx_loop, c);
+    return c;
 }
 
 void hb_task(void* arg) {
@@ -265,6 +287,62 @@ void* mav_conn_create(uint16_t local_port, const char* remote_host,
     c->parser = mavlink_parser_create();
     c->rx_thread = std::thread(rx_loop, c);
     return c;
+}
+
+// TCP transports (the reference's MavLinkCom connectLocalTcp /
+// connectRemoteTcp, MavLinkCom/src/MavLinkConnection.cpp).  The MAVLink
+// parser is stream-safe (per-byte feed with resync), so the same rx loop
+// serves datagrams and streams; framing needs no length prefix.  Serial
+// remains out of scope (no hardware in this environment) — documented in
+// PARITY.md.
+
+// Listen on port, block up to timeout_s for ONE peer, then behave exactly
+// like the UDP connection.  NULL on failure/timeout.
+void* mav_conn_create_tcp_server(uint16_t port, double timeout_s,
+                                 uint8_t sysid, uint8_t compid) {
+    int lfd = socket(AF_INET, SOCK_STREAM, 0);
+    if (lfd < 0) return nullptr;
+    int one = 1;
+    setsockopt(lfd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in local{};
+    local.sin_family = AF_INET;
+    local.sin_addr.s_addr = htonl(INADDR_ANY);
+    local.sin_port = htons(port);
+    if (bind(lfd, reinterpret_cast<sockaddr*>(&local), sizeof(local)) != 0 ||
+        listen(lfd, 1) != 0) {
+        close(lfd);
+        return nullptr;
+    }
+    timeval tv{};
+    tv.tv_sec = static_cast<long>(timeout_s);
+    tv.tv_usec = static_cast<long>((timeout_s - tv.tv_sec) * 1e6);
+    setsockopt(lfd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    int fd = accept(lfd, nullptr, nullptr);
+    close(lfd);
+    if (fd < 0) return nullptr;
+    return wrap_stream_fd(fd, sysid, compid);
+}
+
+// Connect to host:port, retrying until timeout_s.  NULL on failure.
+void* mav_conn_create_tcp_client(const char* host, uint16_t port,
+                                 double timeout_s, uint8_t sysid,
+                                 uint8_t compid) {
+    sockaddr_in remote{};
+    remote.sin_family = AF_INET;
+    remote.sin_port = htons(port);
+    if (inet_pton(AF_INET, host, &remote.sin_addr) != 1) return nullptr;
+    double deadline = now_s() + timeout_s;
+    while (true) {
+        int fd = socket(AF_INET, SOCK_STREAM, 0);
+        if (fd < 0) return nullptr;
+        if (connect(fd, reinterpret_cast<sockaddr*>(&remote),
+                    sizeof(remote)) == 0) {
+            return wrap_stream_fd(fd, sysid, compid);
+        }
+        close(fd);
+        if (now_s() >= deadline) return nullptr;
+        usleep(20 * 1000);
+    }
 }
 
 void mav_conn_destroy(void* h) {

@@ -159,3 +159,45 @@ def test_vehicle_input_adapter_staleness_gates(pair):
     assert _wait(lambda: not inp.snapshot().link_ok, timeout=2.0)
     s2 = inp.snapshot()
     assert np.isinf(s2.odom_age) and np.isinf(s2.att_age)
+
+
+def test_tcp_transport_exchange():
+    """TCP server/client transport (MavLinkCom connectLocalTcp /
+    connectRemoteTcp analogue): the byte-resync parser frames the stream
+    without datagram boundaries, and the same typed decode + watchdog
+    surface works over it."""
+    import threading
+
+    (port,) = _free_ports(1)
+    holder = {}
+
+    def serve():
+        holder["veh"] = MavConnection.tcp_server(port, timeout_s=5.0, sysid=1, compid=1)
+
+    t = threading.Thread(target=serve)
+    t.start()
+    ctrl = MavConnection.tcp_client("127.0.0.1", port, timeout_s=5.0, sysid=255, compid=0)
+    t.join(timeout=6.0)
+    veh = holder.get("veh")
+    assert veh is not None
+    try:
+        veh.send_heartbeat()
+        assert _wait(lambda: ctrl.link_ok(2.0))
+        # vehicle -> controller odometry over the stream
+        veh.send_local_position(1.0, (2.0, -1.0, -1.5), (0.5, 0.0, 0.0))
+        veh.send_attitude(1.0, (0.01, -0.02, 0.3))
+        assert _wait(lambda: ctrl.local_position()[0] >= 1)
+        assert _wait(lambda: ctrl.attitude()[0] >= 1)
+        _, lpn = ctrl.local_position()
+        np.testing.assert_allclose(lpn[1:4], (2.0, -1.0, -1.5), atol=1e-6)
+        # controller -> vehicle setpoint over the stream
+        ctrl.set_attitude_target((1.0, 0.0, 0.0, 0.0), thrust=0.42, send_now=True)
+        assert _wait(lambda: veh.attitude_target()[0] >= 1)
+        _, tgt = veh.attitude_target()
+        assert tgt[8] == pytest.approx(0.42, abs=1e-6)
+        # no CRC errors across the stream
+        assert ctrl.stats()["crc_errors"] == 0
+        assert veh.stats()["crc_errors"] == 0
+    finally:
+        ctrl.close()
+        veh.close()
