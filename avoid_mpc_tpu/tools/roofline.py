@@ -59,11 +59,12 @@ def fused_solve_vpu_flops(
     final certificate sweep.  Bookkeeping floor, not gospel (+-20%).
     """
     # --- Riccati stage (riccati_step) ---
+    n_ut = NX * (NX + 1) // 2  # upper-triangle entries of a symmetric NXxNX
     contractions = 2 * (
         NX * NX  # Qx
         + NX * NU  # Qu
         + NX**3  # T1
-        + NX**3  # Qxx
+        + n_ut * NX  # Qxx (symmetric: upper triangle only)
         + NX * NX * NU + NX * NU  # BtW + reg correction
         + NX * NX * NU  # QuxT
         + NX * NU * NU  # Quu
@@ -71,7 +72,7 @@ def fused_solve_vpu_flops(
     gains = 2 * (NX * NU * NU) + NX * NU  # KT
     gains += 2 * (NX * NU * NU)  # M1T
     value = 2 * (2 * NU * NX)  # Vx_new
-    value += 2 * (3 * NU * NX) * NX + 2 * NX * NX  # Vxx rows + symmetrize
+    value += 2 * (3 * NU) * n_ut  # Vxx upper triangle (exactly symmetric)
     inv4 = 170  # cofactor 4x4 inverse
     mv4 = 2 * NU * NU
     boxqp = bq_iters * (
