@@ -159,8 +159,8 @@ def _make_kernel(
         # scratch
         kff_ref,  # (N, 4, BS, BL)
         kt_ref,  # (N, 10, 4, BS, BL)  K^T layout
-        cus_ref,  # (N, 4, BS, BL)  line-search candidate controls
-        cxs_ref,  # (N+1, 10, BS, BL)  candidate states
+        cus_ref,  # (N, 4, A, BS, BL)  line-search candidate controls
+        cxs_ref,  # (N+1, 10, A, BS, BL)  candidate states
     ):
         bsh = x0_ref.shape[1:]  # (BS, BL)
         dtype = jnp.float32
@@ -262,17 +262,18 @@ def _make_kernel(
             _, total = stage(n - 1, x, total, False)
             return total
 
-        def ls_rollout(alpha, store: bool):
-            """Closed-loop rollout u = clip(u_k + a k + K (x - x_k)) for a
+        def ls_rollout(alpha):
+            """Closed-loop rollout u = clip(u_k + a k + K (x - x_k)) for the
             whole (A, BS, BL) slab of alphas at once; returns total cost
-            (A, BS, BL).  store=True (A must be 1) persists the candidate."""
+            (A, BS, BL) and persists EVERY candidate trajectory into
+            cus_ref/cxs_ref — the accepted alpha is mask-selected afterwards,
+            so no second (re-roll) rollout is needed."""
             a_dim = alpha.shape[0]
             x = jnp.broadcast_to(
                 jnp.stack([x0_ref[i] for i in range(NX)], axis=0)[:, None],
                 (NX, a_dim) + bsh,
             ) * 1.0
-            if store:
-                cxs_ref[0] = x[:, 0]
+            cxs_ref[0] = x
             total = jnp.zeros((a_dim,) + bsh, dtype)
 
             def stage(k, x, total, interior):
@@ -286,9 +287,8 @@ def _make_kernel(
                 x = step_x(x, u)
                 node = node_cost_interior(x, k) if interior else terminal_cost(x)
                 total = total + control_cost(u) + node
-                if store:
-                    cus_ref[k] = u[:, 0]
-                    cxs_ref[k + 1] = x[:, 0]
+                cus_ref[k] = u
+                cxs_ref[k + 1] = x
                 return x, total
 
             def body(k, carry):
@@ -597,8 +597,9 @@ def _make_kernel(
             cost, reg = carry
             dV1, dV2, pg = backward(reg)
 
-            # one (A, BS, BL)-slab rollout evaluates every alpha's cost at once
-            c = ls_rollout(alpha_slab, store=False)  # (A, BS, BL)
+            # one (A, BS, BL)-slab rollout evaluates every alpha's cost at
+            # once AND persists every candidate trajectory
+            c = ls_rollout(alpha_slab)  # (A, BS, BL)
             expected = alpha_slab * dV1[None] + (
                 alpha_slab * alpha_slab
             ) * dV2[None]
@@ -611,27 +612,28 @@ def _make_kernel(
                 jnp.where(c_m <= best_cost[None], arow, jnp.int32(2**30)),
                 axis=0,
             )
-            sel = arow == amin[None]
+            sel = (arow == amin[None]).astype(dtype)  # one-hot over A
             any_ok = jnp.max(ok.astype(dtype), axis=0) > 0.5
-            # masked sum = exact selection (zeros + one power of two);
-            # no-improvement lanes roll out at alpha 0 (the current point)
-            best_alpha = jnp.where(
-                any_ok, jnp.sum(jnp.where(sel, alpha_slab, 0.0), axis=0), 0.0
-            )
 
-            final_cost = ls_rollout(best_alpha[None], store=True)[0]
-
+            # accept = mask-select the winning candidate row out of the
+            # stored slab (sel is an exact 0/1 one-hot, so the masked sum is
+            # bitwise the winning trajectory — zeros plus one exact value);
+            # no-improvement lanes keep the incumbent.
             def accept_u(k, _):
-                us_ref[k] = jnp.where(any_ok[None], cus_ref[k], us_ref[k])
+                cus_k = cus_ref[k]  # (NU, A, BS, BL)
+                u_sel = sum(cus_k[:, a] * sel[a][None] for a in range(n_a))
+                us_ref[k] = jnp.where(any_ok[None], u_sel, us_ref[k])
                 return 0
 
             def accept_x(k, _):
-                xs_ref[k] = jnp.where(any_ok[None], cxs_ref[k], xs_ref[k])
+                cxs_k = cxs_ref[k]  # (NX, A, BS, BL)
+                x_sel = sum(cxs_k[:, a] * sel[a][None] for a in range(n_a))
+                xs_ref[k] = jnp.where(any_ok[None], x_sel, xs_ref[k])
                 return 0
 
             jax.lax.fori_loop(0, n, accept_u, 0)
             jax.lax.fori_loop(0, n + 1, accept_x, 0)
-            cost_new = jnp.where(any_ok, final_cost, cost)
+            cost_new = jnp.where(any_ok, best_cost, cost)
             reg_new = jnp.where(
                 any_ok,
                 jnp.maximum(reg * 0.2, reg_min),
@@ -759,8 +761,8 @@ def sqp_solve_batched(
         scratch_shapes=[
             pltpu.VMEM((n, NU, bs_t, bl), dtype),
             pltpu.VMEM((n, NX, NU, bs_t, bl), dtype),
-            pltpu.VMEM((n, NU, bs_t, bl), dtype),
-            pltpu.VMEM((n + 1, NX, bs_t, bl), dtype),
+            pltpu.VMEM((n, NU, n_alphas, bs_t, bl), dtype),
+            pltpu.VMEM((n + 1, NX, n_alphas, bs_t, bl), dtype),
         ],
         # the (8,128)-tile program holds the stage scratch plus the slab
         # line-search live set in VMEM — comfortably inside the v5e's
