@@ -417,6 +417,52 @@ def _bind_mavconn(lib):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
         fn.argtypes = [ctypes.c_void_p, f32p]
+    lib.mav_conn_create_serial.restype = ctypes.c_void_p
+    lib.mav_conn_create_serial.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_uint8, ctypes.c_uint8,
+    ]
+    lib.mav_conn_log_open.restype = ctypes.c_int
+    lib.mav_conn_log_open.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.mav_conn_log_close.argtypes = [ctypes.c_void_p]
+    lib.mav_log_reader_open.restype = ctypes.c_void_p
+    lib.mav_log_reader_open.argtypes = [ctypes.c_char_p]
+    lib.mav_log_reader_next.restype = ctypes.c_int
+    lib.mav_log_reader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.mav_log_reader_close.argtypes = [ctypes.c_void_p]
+    lib.mav_ftp_server_create.restype = ctypes.c_void_p
+    lib.mav_ftp_server_create.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.mav_ftp_server_ops.restype = ctypes.c_uint64
+    lib.mav_ftp_server_ops.argtypes = [ctypes.c_void_p]
+    lib.mav_ftp_server_destroy.argtypes = [ctypes.c_void_p]
+    lib.mav_ftp_client_create.restype = ctypes.c_void_p
+    lib.mav_ftp_client_create.argtypes = [ctypes.c_void_p]
+    lib.mav_ftp_client_destroy.argtypes = [ctypes.c_void_p]
+    lib.mav_ftp_list.restype = ctypes.c_int
+    lib.mav_ftp_list.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_double,
+    ]
+    lib.mav_ftp_get.restype = ctypes.c_long
+    lib.mav_ftp_get.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
+    ]
+    lib.mav_ftp_put.restype = ctypes.c_long
+    lib.mav_ftp_put.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
+    ]
+    for name in ("mav_ftp_remove", "mav_ftp_mkdir", "mav_ftp_rmdir"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double]
+    lib.mav_ftp_crc32.restype = ctypes.c_int
+    lib.mav_ftp_crc32.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_double,
+    ]
     lib._mavconn_bound = True
 
 
@@ -424,10 +470,13 @@ class MavConnection:
     """Live MAVLink endpoint (runtime/mavlink_conn.cpp): socket + receive
     thread + typed vehicle-state latches + heartbeat watchdog + periodic
     HEARTBEAT / SET_ATTITUDE_TARGET streams on the native scheduler.
-    Transports: point-to-point UDP (the constructor) and TCP server/client
-    (:meth:`tcp_server` / :meth:`tcp_client`) — the connectLocalTcp /
-    connectRemoteTcp surface of the reference's MavLinkCom; serial stays
-    hardware-only scope (PARITY.md).
+    Transports: point-to-point UDP (the constructor), TCP server/client
+    (:meth:`tcp_server` / :meth:`tcp_client`) and serial (:meth:`serial`) —
+    the connectLocalUdp / connectLocalTcp / connectRemoteTcp /
+    connectSerial surface of the reference's MavLinkCom.  Microservices on
+    top: FTP (:class:`MavFtpServer`/:class:`MavFtpClient`), tlog capture
+    (:meth:`log_open` + :func:`read_tlog`), PARAM, and the periodic
+    HEARTBEAT/setpoint streams.
 
     The MavLinkConnection/MavLinkVehicle role of the reference's MavLinkCom
     (MavLinkCom/src/MavLinkConnection.cpp, MavLinkVehicle.cpp), whose typed
@@ -476,6 +525,33 @@ class MavConnection:
         self._lib = lib
         self._ptr = ptr
         return self
+
+    @classmethod
+    def serial(cls, device: str, baud: int = 115200,
+               sysid: int = 255, compid: int = 0) -> "MavConnection":
+        """Open a serial MAVLink endpoint on a tty (raw 8N1 at ``baud``) —
+        the MavLinkCom connectSerial surface
+        (MavLinkCom/src/serial_com/SerialPort.cpp).  Works on real UARTs
+        and pty pairs (how the loopback tests drive it)."""
+        lib = _load()
+        _bind_mavconn(lib)
+        ptr = lib.mav_conn_create_serial(device.encode(), baud, sysid, compid)
+        if not ptr:
+            raise OSError(f"mav_conn_create_serial failed ({device})")
+        self = cls.__new__(cls)
+        self._lib = lib
+        self._ptr = ptr
+        return self
+
+    def log_open(self, path: str):
+        """Start capturing every frame (both directions) to ``path`` in tlog
+        format (8-byte big-endian epoch-us + raw v2 frame) — the
+        MavLinkFileLog::openForWriting role."""
+        if self._lib.mav_conn_log_open(self._ptr, path.encode()) != 0:
+            raise OSError(f"mav_conn_log_open failed ({path})")
+
+    def log_close(self):
+        self._lib.mav_conn_log_close(self._ptr)
 
     def send_heartbeat(self):
         self._lib.mav_conn_send_heartbeat(self._ptr)
@@ -550,6 +626,139 @@ class MavConnection:
     def close(self):
         if getattr(self, "_ptr", None):
             self._lib.mav_conn_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.close()
+
+
+def read_tlog(path: str):
+    """Iterate a tlog written by :meth:`MavConnection.log_open`, yielding
+    ``(timestamp_us, msgid, payload_bytes)`` — the
+    MavLinkFileLog::openForReading / read surface (MavLinkCom/src/
+    MavLinkLog.cpp)."""
+    lib = _load()
+    _bind_mavconn(lib)
+    h = lib.mav_log_reader_open(path.encode())
+    if not h:
+        raise OSError(f"mav_log_reader_open failed ({path})")
+    try:
+        while True:
+            ts = ctypes.c_uint64()
+            msgid = ctypes.c_uint32()
+            payload = ctypes.create_string_buffer(300)
+            plen = ctypes.c_uint8()
+            r = lib.mav_log_reader_next(
+                h, ctypes.byref(ts), ctypes.byref(msgid), payload,
+                ctypes.byref(plen)
+            )
+            if r == 0:
+                return
+            if r < 0:
+                raise IOError(f"corrupt tlog record in {path}")
+            yield int(ts.value), int(msgid.value), payload.raw[: plen.value]
+    finally:
+        lib.mav_log_reader_close(h)
+
+
+class MavFtpServer:
+    """MAVLink-FTP responder rooted at a local directory, serving
+    list/read/write/remove/mkdir/rmdir/crc32 over FILE_TRANSFER_PROTOCOL on
+    an existing :class:`MavConnection` (the vehicle-side role the
+    reference's MavLinkFtpClient talks to; runtime/mavlink_ftp.cpp)."""
+
+    def __init__(self, conn: MavConnection, root: str):
+        self._lib = conn._lib
+        self._ptr = self._lib.mav_ftp_server_create(conn._ptr, root.encode())
+        if not self._ptr:
+            raise OSError("mav_ftp_server_create failed (subscriber slots?)")
+
+    def ops_served(self) -> int:
+        return int(self._lib.mav_ftp_server_ops(self._ptr))
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            self._lib.mav_ftp_server_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.close()
+
+
+class MavFtpClient:
+    """Blocking MAVLink-FTP client on an existing :class:`MavConnection` —
+    the MavLinkFtpClient surface (MavLinkCom/include/MavLinkFtpClient.hpp:
+    list/get/put/remove/mkdir/rmdir) with resend-on-timeout transactions."""
+
+    def __init__(self, conn: MavConnection):
+        self._lib = conn._lib
+        self._ptr = self._lib.mav_ftp_client_create(conn._ptr)
+        if not self._ptr:
+            raise OSError("mav_ftp_client_create failed (subscriber slots?)")
+
+    def list(self, path: str = "/", timeout_s: float = 3.0):
+        """Directory entries as (kind, name, size) tuples; kind 'D'|'F'."""
+        buf = ctypes.create_string_buffer(65536)
+        n = self._lib.mav_ftp_list(
+            self._ptr, path.encode(), buf, len(buf), timeout_s
+        )
+        if n < 0:
+            raise OSError(f"ftp list({path}) failed: {n}")
+        out = []
+        for line in buf.value.decode().splitlines():
+            if not line:
+                continue
+            kind, rest = line[0], line[1:]
+            if kind == "F" and "\t" in rest:
+                name, size = rest.rsplit("\t", 1)
+                out.append((kind, name, int(size)))
+            else:
+                out.append((kind, rest, 0))
+        return out
+
+    def get(self, remote: str, local: str, timeout_s: float = 5.0) -> int:
+        n = self._lib.mav_ftp_get(
+            self._ptr, remote.encode(), local.encode(), timeout_s
+        )
+        if n < 0:
+            raise OSError(f"ftp get({remote}) failed: {n}")
+        return int(n)
+
+    def put(self, local: str, remote: str, timeout_s: float = 5.0) -> int:
+        n = self._lib.mav_ftp_put(
+            self._ptr, local.encode(), remote.encode(), timeout_s
+        )
+        if n < 0:
+            raise OSError(f"ftp put({remote}) failed: {n}")
+        return int(n)
+
+    def remove(self, path: str, timeout_s: float = 3.0):
+        rc = self._lib.mav_ftp_remove(self._ptr, path.encode(), timeout_s)
+        if rc != 0:
+            raise OSError(f"ftp remove({path}) failed: {rc}")
+
+    def mkdir(self, path: str, timeout_s: float = 3.0):
+        rc = self._lib.mav_ftp_mkdir(self._ptr, path.encode(), timeout_s)
+        if rc != 0:
+            raise OSError(f"ftp mkdir({path}) failed: {rc}")
+
+    def rmdir(self, path: str, timeout_s: float = 3.0):
+        rc = self._lib.mav_ftp_rmdir(self._ptr, path.encode(), timeout_s)
+        if rc != 0:
+            raise OSError(f"ftp rmdir({path}) failed: {rc}")
+
+    def crc32(self, path: str, timeout_s: float = 3.0) -> int:
+        out = ctypes.c_uint32()
+        rc = self._lib.mav_ftp_crc32(
+            self._ptr, path.encode(), ctypes.byref(out), timeout_s
+        )
+        if rc != 0:
+            raise OSError(f"ftp crc32({path}) failed: {rc}")
+        return int(out.value)
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            self._lib.mav_ftp_client_destroy(self._ptr)
             self._ptr = None
 
     def __del__(self):

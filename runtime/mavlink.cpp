@@ -126,8 +126,33 @@ int mavlink_crc_extra_for(uint32_t msgid) {
         case 32: return 185;  // LOCAL_POSITION_NED
         case 76: return 152;  // COMMAND_LONG
         case 82: return 49;   // SET_ATTITUDE_TARGET
+        case 110: return 84;  // FILE_TRANSFER_PROTOCOL
+        case 130: return 29;  // DATA_TRANSMISSION_HANDSHAKE
+        case 131: return 223; // ENCAPSULATED_DATA
         default: return -1;
     }
+}
+
+// Pack any message whose CRC_EXTRA the table above knows, from its raw wire
+// payload — the generic entry the FTP / video microservices use (their
+// payloads are built by the service layer).  Returns -1 on unknown msgid.
+int mavlink2_pack_raw(uint32_t msgid, const uint8_t* payload,
+                      size_t payload_len, uint8_t seq, uint8_t sysid,
+                      uint8_t compid, uint8_t* out) {
+    int extra = mavlink_crc_extra_for(msgid);
+    if (extra < 0) return -1;
+    return mavlink2_pack(msgid, payload, payload_len, seq, sysid, compid,
+                         static_cast<uint8_t>(extra), out);
+}
+
+// After mavlink_parser_feed / _feed_auto returns 1, the full raw frame (as
+// received on the wire, header + payload + CRC) is available here until the
+// next byte is fed — what the connection log writes (reference:
+// MavLinkFileLog::write persisting each message, MavLinkLog.cpp).
+int mavlink_parser_last_frame(void* pp, const uint8_t** frame) {
+    auto* p = static_cast<Parser*>(pp);
+    *frame = p->buf;
+    return static_cast<int>(p->need);
 }
 
 // Like mavlink_parser_feed, but looks the CRC_EXTRA up from the parsed

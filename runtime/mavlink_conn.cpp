@@ -20,11 +20,15 @@
 // rates are <= a few kHz); the heartbeat clock is monotonic.
 
 #include <arpa/inet.h>
+#include <fcntl.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <sys/socket.h>
 #include <sys/time.h>
+#include <termios.h>
 #include <unistd.h>
+
+#include <cstdio>
 
 #include <atomic>
 #include <chrono>
@@ -62,6 +66,10 @@ int mavlink2_pack_command_long(const float params7[7], uint16_t command,
                                uint8_t target_system, uint8_t target_component,
                                uint8_t confirmation, uint8_t seq, uint8_t sysid,
                                uint8_t compid, uint8_t* out);
+int mavlink2_pack_raw(uint32_t msgid, const uint8_t* payload,
+                      size_t payload_len, uint8_t seq, uint8_t sysid,
+                      uint8_t compid, uint8_t* out);
+int mavlink_parser_last_frame(void* pp, const uint8_t** frame);
 // ---- scheduler (scheduler.cpp) ----
 typedef void (*task_fn)(void* arg);
 void* scheduler_create();
@@ -86,9 +94,18 @@ inline void expand(const uint8_t* payload, uint8_t plen, uint8_t* full,
     std::memcpy(full, payload, plen < full_len ? plen : full_len);
 }
 
+// raw-frame subscriber (FTP / video / custom microservices): invoked from
+// the receive thread for EVERY CRC-valid frame, after the typed latches,
+// with the connection mutex released (the reference's
+// MavLinkConnection::subscribe fan-out).
+typedef void (*mav_raw_cb)(void* ctx, uint32_t msgid, const uint8_t* payload,
+                           uint8_t payload_len);
+constexpr int kMaxSubscribers = 4;
+
 struct Conn {
     int fd = -1;
     bool is_stream = false;  // TCP: connected socket, send() not sendto()
+    bool is_serial = false;  // tty: read()/write(), no socket opts
     sockaddr_in remote{};
     uint8_t sysid, compid;
     std::atomic<uint8_t> seq{0};
@@ -116,7 +133,31 @@ struct Conn {
     bool have_setpoint = false;
 
     void* sched = nullptr;  // owns the periodic TX tasks once started
+
+    // raw-frame subscribers (slot array; registration is rare)
+    std::mutex sub_mu;
+    mav_raw_cb subs[kMaxSubscribers] = {nullptr};
+    void* sub_ctx[kMaxSubscribers] = {nullptr};
+
+    // .tlog capture: 8-byte big-endian epoch-microseconds + raw frame, both
+    // directions (the MavLinkFileLog role, MavLinkCom/src/MavLinkLog.cpp)
+    std::mutex log_mu;
+    FILE* log_fp = nullptr;
 };
+
+void log_frame(Conn* c, const uint8_t* frame, int len) {
+    std::lock_guard<std::mutex> lock(c->log_mu);
+    if (!c->log_fp) return;
+    auto us = static_cast<uint64_t>(
+        std::chrono::duration_cast<std::chrono::microseconds>(
+            std::chrono::system_clock::now().time_since_epoch())
+            .count());
+    uint8_t ts[8];
+    for (int i = 0; i < 8; ++i)
+        ts[i] = static_cast<uint8_t>((us >> (8 * (7 - i))) & 0xFF);
+    fwrite(ts, 1, 8, c->log_fp);
+    fwrite(frame, 1, static_cast<size_t>(len), c->log_fp);
+}
 
 void handle_frame(Conn* c, uint32_t msgid, const uint8_t* payload,
                   uint8_t plen) {
@@ -174,7 +215,8 @@ void handle_frame(Conn* c, uint32_t msgid, const uint8_t* payload,
 void rx_loop(Conn* c) {
     uint8_t dgram[2048], payload[256];
     while (!c->stop.load(std::memory_order_relaxed)) {
-        ssize_t n = recv(c->fd, dgram, sizeof(dgram), 0);
+        ssize_t n = c->is_serial ? read(c->fd, dgram, sizeof(dgram))
+                                 : recv(c->fd, dgram, sizeof(dgram), 0);
         if (n <= 0) continue;  // timeout or spurious wake
         for (ssize_t i = 0; i < n; ++i) {
             uint32_t msgid;
@@ -182,7 +224,21 @@ void rx_loop(Conn* c) {
             int r = mavlink_parser_feed_auto(c->parser, dgram[i], &msgid,
                                              payload, &plen);
             if (r == 1) {
+                const uint8_t* raw;
+                int raw_len = mavlink_parser_last_frame(c->parser, &raw);
+                log_frame(c, raw, raw_len);
                 handle_frame(c, msgid, payload, plen);
+                // subscriber fan-out, connection mutex released (handlers
+                // may send on this same connection)
+                mav_raw_cb cbs[kMaxSubscribers];
+                void* ctxs[kMaxSubscribers];
+                {
+                    std::lock_guard<std::mutex> lock(c->sub_mu);
+                    std::memcpy(cbs, c->subs, sizeof(cbs));
+                    std::memcpy(ctxs, c->sub_ctx, sizeof(ctxs));
+                }
+                for (int s = 0; s < kMaxSubscribers; ++s)
+                    if (cbs[s]) cbs[s](ctxs[s], msgid, payload, plen);
             } else if (r == -1) {
                 std::lock_guard<std::mutex> lock(c->mu);
                 c->crc_errors++;
@@ -196,13 +252,16 @@ void rx_loop(Conn* c) {
 
 int send_frame(Conn* c, const uint8_t* frame, int len) {
     ssize_t n;
-    if (c->is_stream) {
+    if (c->is_serial) {
+        n = write(c->fd, frame, static_cast<size_t>(len));
+    } else if (c->is_stream) {
         n = send(c->fd, frame, static_cast<size_t>(len), MSG_NOSIGNAL);
     } else {
         n = sendto(c->fd, frame, static_cast<size_t>(len), 0,
                    reinterpret_cast<const sockaddr*>(&c->remote),
                    sizeof(c->remote));
     }
+    if (n == len) log_frame(c, frame, len);
     return n == len ? 0 : -1;
 }
 
@@ -292,9 +351,8 @@ void* mav_conn_create(uint16_t local_port, const char* remote_host,
 // TCP transports (the reference's MavLinkCom connectLocalTcp /
 // connectRemoteTcp, MavLinkCom/src/MavLinkConnection.cpp).  The MAVLink
 // parser is stream-safe (per-byte feed with resync), so the same rx loop
-// serves datagrams and streams; framing needs no length prefix.  Serial
-// remains out of scope (no hardware in this environment) — documented in
-// PARITY.md.
+// serves datagrams, streams and serial ports; framing needs no length
+// prefix.
 
 // Listen on port, block up to timeout_s for ONE peer, then behave exactly
 // like the UDP connection.  NULL on failure/timeout.
@@ -345,6 +403,50 @@ void* mav_conn_create_tcp_client(const char* host, uint16_t port,
     }
 }
 
+// Serial transport (the reference's MavLinkCom connectSerial,
+// MavLinkCom/src/serial_com/SerialPort.cpp): open a tty in raw 8N1 mode at
+// `baud`, receive via read() with a 100 ms VTIME poll so stop() is prompt.
+// Works against real UARTs and pty pairs alike (the loopback tests drive a
+// pty).  NULL on failure.
+void* mav_conn_create_serial(const char* device, int baud, uint8_t sysid,
+                             uint8_t compid) {
+    int fd = open(device, O_RDWR | O_NOCTTY);
+    if (fd < 0) return nullptr;
+    termios tio{};
+    if (tcgetattr(fd, &tio) != 0) {
+        close(fd);
+        return nullptr;
+    }
+    cfmakeraw(&tio);
+    tio.c_cflag |= CLOCAL | CREAD;
+    tio.c_cc[VMIN] = 0;
+    tio.c_cc[VTIME] = 1;  // 100 ms read timeout -> prompt stop()
+    speed_t sp = B115200;
+    switch (baud) {
+        case 9600: sp = B9600; break;
+        case 57600: sp = B57600; break;
+        case 115200: sp = B115200; break;
+        case 230400: sp = B230400; break;
+        case 460800: sp = B460800; break;
+        case 921600: sp = B921600; break;
+        default: break;  // keep 115200 for unknown rates
+    }
+    cfsetispeed(&tio, sp);
+    cfsetospeed(&tio, sp);
+    if (tcsetattr(fd, TCSANOW, &tio) != 0) {
+        close(fd);
+        return nullptr;
+    }
+    auto* c = new Conn();
+    c->fd = fd;
+    c->is_serial = true;
+    c->sysid = sysid;
+    c->compid = compid;
+    c->parser = mavlink_parser_create();
+    c->rx_thread = std::thread(rx_loop, c);
+    return c;
+}
+
 void mav_conn_destroy(void* h) {
     auto* c = static_cast<Conn*>(h);
     c->stop.store(true);
@@ -352,7 +454,73 @@ void mav_conn_destroy(void* h) {
     if (c->rx_thread.joinable()) c->rx_thread.join();
     mavlink_parser_destroy(c->parser);
     close(c->fd);
+    {
+        std::lock_guard<std::mutex> lock(c->log_mu);
+        if (c->log_fp) fclose(c->log_fp);
+        c->log_fp = nullptr;
+    }
     delete c;
+}
+
+// ---- raw-frame subscribers + raw send (microservice plumbing) -------------
+
+// Register cb for every CRC-valid incoming frame.  Returns a slot id >= 0,
+// or -1 when all slots are taken.
+int mav_conn_subscribe(void* h, mav_raw_cb cb, void* ctx) {
+    auto* c = static_cast<Conn*>(h);
+    std::lock_guard<std::mutex> lock(c->sub_mu);
+    for (int s = 0; s < kMaxSubscribers; ++s) {
+        if (!c->subs[s]) {
+            c->subs[s] = cb;
+            c->sub_ctx[s] = ctx;
+            return s;
+        }
+    }
+    return -1;
+}
+
+void mav_conn_unsubscribe(void* h, int slot) {
+    auto* c = static_cast<Conn*>(h);
+    if (slot < 0 || slot >= kMaxSubscribers) return;
+    std::lock_guard<std::mutex> lock(c->sub_mu);
+    c->subs[slot] = nullptr;
+    c->sub_ctx[slot] = nullptr;
+}
+
+// Pack + send any message the codec's CRC_EXTRA table knows from its raw
+// wire payload.  -1 on unknown msgid or short write.
+int mav_conn_send_raw(void* h, uint32_t msgid, const uint8_t* payload,
+                      int payload_len) {
+    auto* c = static_cast<Conn*>(h);
+    uint8_t frame[300];
+    int len = mavlink2_pack_raw(msgid, payload,
+                                static_cast<size_t>(payload_len),
+                                c->seq.fetch_add(1), c->sysid, c->compid,
+                                frame);
+    if (len < 0) return -1;
+    return send_frame(c, frame, len);
+}
+
+// ---- .tlog capture --------------------------------------------------------
+
+// Start appending every frame (both directions) to `path` in tlog format:
+// 8-byte big-endian epoch-microsecond timestamp + raw MAVLink v2 frame (the
+// MavLinkFileLog::openForWriting role).  -1 if the file cannot be opened.
+int mav_conn_log_open(void* h, const char* path) {
+    auto* c = static_cast<Conn*>(h);
+    FILE* fp = fopen(path, "wb");
+    if (!fp) return -1;
+    std::lock_guard<std::mutex> lock(c->log_mu);
+    if (c->log_fp) fclose(c->log_fp);
+    c->log_fp = fp;
+    return 0;
+}
+
+void mav_conn_log_close(void* h) {
+    auto* c = static_cast<Conn*>(h);
+    std::lock_guard<std::mutex> lock(c->log_mu);
+    if (c->log_fp) fclose(c->log_fp);
+    c->log_fp = nullptr;
 }
 
 // ---- outgoing -------------------------------------------------------------
@@ -481,6 +649,54 @@ int mav_conn_command_long(void* h, float out[8]) {
     std::lock_guard<std::mutex> lock(c->mu);
     std::memcpy(out, c->cmd_long, sizeof(c->cmd_long));
     return static_cast<int>(c->cmd_count);
+}
+
+// ---- .tlog reader (MavLinkFileLog::openForReading / read role) ------------
+
+namespace {
+struct LogReader {
+    FILE* fp = nullptr;
+    void* parser = nullptr;
+};
+}  // namespace
+
+void* mav_log_reader_open(const char* path) {
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return nullptr;
+    auto* r = new LogReader();
+    r->fp = fp;
+    r->parser = mavlink_parser_create();
+    return r;
+}
+
+// Read the next record.  Returns 1 and fills ts_us/msgid/payload/payload_len
+// on success, 0 at EOF, -1 on a corrupt record (CRC / framing).
+int mav_log_reader_next(void* h, uint64_t* ts_us, uint32_t* msgid,
+                        uint8_t* payload, uint8_t* payload_len) {
+    auto* r = static_cast<LogReader*>(h);
+    uint8_t ts[8];
+    if (fread(ts, 1, 8, r->fp) != 8) return 0;
+    uint64_t us = 0;
+    for (int i = 0; i < 8; ++i) us = (us << 8) | ts[i];
+    *ts_us = us;
+    // feed bytes until the parser completes one frame
+    for (int guard = 0; guard < 4096; ++guard) {
+        int b = fgetc(r->fp);
+        if (b == EOF) return -1;  // truncated record
+        int rr = mavlink_parser_feed_auto(r->parser,
+                                          static_cast<uint8_t>(b), msgid,
+                                          payload, payload_len);
+        if (rr == 1) return 1;
+        if (rr < 0) return -1;
+    }
+    return -1;
+}
+
+void mav_log_reader_close(void* h) {
+    auto* r = static_cast<LogReader*>(h);
+    fclose(r->fp);
+    mavlink_parser_destroy(r->parser);
+    delete r;
 }
 
 }  // extern "C"
