@@ -54,9 +54,10 @@ def fused_solve_vpu_flops(
     """Itemized per-scenario flop count of solver/pallas_sqp.py (FMA = 2).
 
     Mirrors the kernel's structure: per SQP iteration one backward sweep
-    (inline linearization + Riccati + box QP per stage) and n_alphas+1
-    closed-loop rollout candidates; plus the warm-start rollout and the
-    final certificate sweep.  Bookkeeping floor, not gospel (+-20%).
+    (inline linearization + Riccati + box QP per stage), n_alphas closed-loop
+    rollout candidates (all stored; the winner is mask-selected, no re-roll);
+    plus the warm-start rollout and the final certificate sweep.
+    Bookkeeping floor, not gospel (+-20%).
     """
     # --- Riccati stage (riccati_step) ---
     n_ut = NX * (NX + 1) // 2  # upper-triangle entries of a symmetric NXxNX
@@ -99,7 +100,9 @@ def fused_solve_vpu_flops(
     )
 
     backward = n * (riccati + linearize)
-    per_iter = backward + n * rollout_stage * (n_alphas + 1) + 2 * n * (NX + NU)
+    # accept = one-hot mask-select of the winner out of the stored slab
+    accept = 2 * n * (NX + NU) * n_alphas
+    per_iter = backward + n * rollout_stage * n_alphas + accept
     total = (
         n * rollout_stage  # warm-start rollout
         + iters * per_iter
