@@ -463,6 +463,34 @@ def _bind_mavconn(lib):
         ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_double,
     ]
+    lib.mav_video_server_create.restype = ctypes.c_void_p
+    lib.mav_video_server_create.argtypes = [ctypes.c_void_p]
+    lib.mav_video_server_has_request.restype = ctypes.c_int
+    lib.mav_video_server_has_request.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.mav_video_server_send_frame.restype = ctypes.c_int
+    lib.mav_video_server_send_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint16,
+        ctypes.c_uint16, ctypes.c_uint8, ctypes.c_uint8,
+    ]
+    lib.mav_video_server_destroy.argtypes = [ctypes.c_void_p]
+    lib.mav_video_client_create.restype = ctypes.c_void_p
+    lib.mav_video_client_create.argtypes = [ctypes.c_void_p]
+    lib.mav_video_client_request.restype = ctypes.c_int
+    lib.mav_video_client_request.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.c_uint8, ctypes.c_uint8,
+    ]
+    lib.mav_video_client_read_frame.restype = ctypes.c_int
+    lib.mav_video_client_read_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mav_video_client_destroy.argtypes = [ctypes.c_void_p]
     lib._mavconn_bound = True
 
 
@@ -759,6 +787,133 @@ class MavFtpClient:
     def close(self):
         if getattr(self, "_ptr", None):
             self._lib.mav_ftp_client_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.close()
+
+
+class VideoFrame:
+    """One reassembled image (MavLinkVideoClient::MavLinkVideoFrame,
+    MavLinkCom/include/MavLinkVideoStream.hpp:28-36)."""
+
+    __slots__ = ("data", "width", "height", "type", "quality", "progress")
+
+    def __init__(self, data, width, height, type_, quality, progress):
+        self.data = data
+        self.width = width
+        self.height = height
+        self.type = type_
+        self.quality = quality
+        self.progress = progress
+
+
+class MavVideoServer:
+    """Vehicle-side video streamer on an existing :class:`MavConnection` —
+    the MavLinkVideoServer surface (MavLinkCom/include/MavLinkVideoStream.hpp:
+    45-64): poll :meth:`has_request` for DO_CONTROL_VIDEO commands, answer
+    with :meth:`send_frame` (one DATA_TRANSMISSION_HANDSHAKE + N
+    ENCAPSULATED_DATA packets; runtime/mavlink_video.cpp)."""
+
+    def __init__(self, conn: MavConnection):
+        self._lib = conn._lib
+        self._ptr = self._lib.mav_video_server_create(conn._ptr)
+        if not self._ptr:
+            raise OSError("mav_video_server_create failed (subscriber slots?)")
+
+    def has_request(self):
+        """Pending request as (camera_id, every_n_sec, save_locally), or
+        None (MavLinkVideoServer::hasVideoRequest — consumed on read)."""
+        cam = ctypes.c_int()
+        interval = ctypes.c_float()
+        save = ctypes.c_int()
+        if not self._lib.mav_video_server_has_request(
+            self._ptr, ctypes.byref(cam), ctypes.byref(interval),
+            ctypes.byref(save)
+        ):
+            return None
+        return int(cam.value), float(interval.value), bool(save.value)
+
+    def send_frame(self, data: bytes, width: int, height: int,
+                   image_type: int = 0, quality: int = 90) -> int:
+        """Stream one frame; returns the MAVLink packet count sent."""
+        n = self._lib.mav_video_server_send_frame(
+            self._ptr, data, len(data), width, height, image_type, quality
+        )
+        if n < 0:
+            raise OSError("mav_video_server_send_frame failed")
+        return int(n)
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            self._lib.mav_video_server_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.close()
+
+
+class MavVideoClient:
+    """GCS-side video receiver — the MavLinkVideoClient surface
+    (MavLinkCom/include/MavLinkVideoStream.hpp:22-43): ask with
+    :meth:`request_video`, poll :meth:`read_next_frame` for the newest
+    complete image (handed out once, with in-flight assembly progress)."""
+
+    _CAP = 16 * 1024 * 1024
+
+    def __init__(self, conn: MavConnection):
+        self._lib = conn._lib
+        self._ptr = self._lib.mav_video_client_create(conn._ptr)
+        if not self._ptr:
+            raise OSError("mav_video_client_create failed (subscriber slots?)")
+        self._buf = ctypes.create_string_buffer(self._CAP)
+
+    def request_video(self, camera_id: int, every_n_sec: float,
+                      save_locally: bool = False,
+                      target_system: int = 1, target_component: int = 1):
+        rc = self._lib.mav_video_client_request(
+            self._ptr, camera_id, every_n_sec, int(save_locally),
+            target_system, target_component
+        )
+        if rc != 0:
+            raise OSError("mav_video_client_request failed")
+
+    def read_next_frame(self):
+        """Newest complete :class:`VideoFrame`, or None if nothing new
+        (then .progress of the frame being assembled is lost — poll again)."""
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        t = ctypes.c_int()
+        q = ctypes.c_int()
+        prog = ctypes.c_float()
+        n = self._lib.mav_video_client_read_frame(
+            self._ptr, self._buf, self._CAP, ctypes.byref(w), ctypes.byref(h),
+            ctypes.byref(t), ctypes.byref(q), ctypes.byref(prog)
+        )
+        if n < 0:
+            raise OSError("frame larger than client buffer")
+        if n == 0:
+            return None
+        return VideoFrame(self._buf.raw[:n], int(w.value), int(h.value),
+                          int(t.value), int(q.value), float(prog.value))
+
+    def progress(self) -> float:
+        """Assembly fraction (0..1) of the frame currently in flight."""
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        t = ctypes.c_int()
+        q = ctypes.c_int()
+        prog = ctypes.c_float()
+        # peek: read_frame with fresh=False only fills progress
+        self._lib.mav_video_client_read_frame(
+            self._ptr, None, 0, ctypes.byref(w), ctypes.byref(h),
+            ctypes.byref(t), ctypes.byref(q), ctypes.byref(prog)
+        )
+        return float(prog.value)
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            self._lib.mav_video_client_destroy(self._ptr)
             self._ptr = None
 
     def __del__(self):
