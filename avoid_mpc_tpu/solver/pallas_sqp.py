@@ -63,13 +63,21 @@ _PV = (0, 1, 2, 4, 5, 6)
 
 
 def _softplus(x):
-    return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
+    # max(x,0) + log1p(exp(-|x|)): one exp whose argument is always <= 0, so
+    # no overflow clamp/select is needed (padding lanes see |z| ~ 3e5 and
+    # land on exp -> 0, log1p -> 0 exactly).  Transcendentals are the fused
+    # kernel's real cost (~15-20 VPU cycles each vs 1 for an FMA); this form
+    # halves the select/clamp overhead of the naive log1p(exp(x)).
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
 
 
-def _sigmoid(x):
-    # stable both directions (padding lanes see |z| ~ 3e5)
+def _softplus_sigmoid(x):
+    """(softplus(x), sigmoid(x)) sharing ONE exp(-|x|) — the linearization
+    needs both at the same argument for every obstacle/stage."""
     e = jnp.exp(-jnp.abs(x))
-    return jnp.where(x >= 0.0, 1.0 / (1.0 + e), e / (1.0 + e))
+    den_inv = 1.0 / (1.0 + e)
+    sig = jnp.where(x >= 0.0, den_inv, e * den_inv)
+    return jnp.maximum(x, 0.0) + jnp.log1p(e), sig
 
 
 def _hff_masked(Quu, mf):
@@ -224,9 +232,13 @@ def _make_kernel(
                 vy = obs_k[o, 1][None] - x[1]
                 vz = obs_k[o, 2][None] - x[2]
                 d2 = jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-12)
-                dist = jnp.sqrt(d2)
-                v_along = (x[4] * vx + x[5] * vy + x[6] * vz) / dist
-                v_toward = jnp.sqrt(v_along * v_along + _ABS_EPS)
+                # rsqrt-form distance math: one rsqrt + multiplies instead of
+                # sqrt + divide (both multi-pass on the VPU)
+                rinv = jax.lax.rsqrt(d2)
+                dist = d2 * rinv
+                v_along = (x[4] * vx + x[5] * vy + x[6] * vz) * rinv
+                t2 = v_along * v_along + _ABS_EPS
+                v_toward = t2 * jax.lax.rsqrt(t2)
                 c = c + (lam * v_toward + lam_omni) * _softplus(
                     -_SHARP * (dist - r_eff)
                 )
@@ -373,21 +385,30 @@ def _make_kernel(
                 d2 = jnp.maximum(
                     vec[0] * vec[0] + vec[1] * vec[1] + vec[2] * vec[2], 1e-12
                 )
-                d = jnp.sqrt(d2)
-                u3 = [vec[i] / d for i in range(3)]
-                w = (v_vec[0] * vec[0] + v_vec[1] * vec[1] + v_vec[2] * vec[2]) / d
-                g = jnp.sqrt(w * w + _ABS_EPS)
-                h = w / g
+                # rsqrt-form closed-form quadratics: the naive forms spend
+                # 2 sqrt + ~13 divides + 2 exp per obstacle (all multi-pass
+                # VPU ops); the reciprocal forms spend 2 rsqrt + 1 exp +
+                # 1 divide and multiplies.  Math is identical to ~1 ulp.
+                rinv = jax.lax.rsqrt(d2)
+                rinv2 = rinv * rinv
+                d = d2 * rinv
+                u3 = [vec[i] * rinv for i in range(3)]
+                w = (
+                    v_vec[0] * vec[0] + v_vec[1] * vec[1] + v_vec[2] * vec[2]
+                ) * rinv
+                g2 = w * w + _ABS_EPS
+                ginv = jax.lax.rsqrt(g2)
+                g = g2 * ginv
+                h = w * ginv
                 z = -_SHARP * (d - r_eff)
-                sig = _sigmoid(z)
-                S = _softplus(z)
+                S, sig = _softplus_sigmoid(z)
                 sigp = sig * (1.0 - sig)
-                eg3 = _ABS_EPS / (g * g * g)
+                eg3 = _ABS_EPS * ginv * ginv * ginv
                 q3 = [w * u3[i] - v_vec[i] for i in range(3)]
 
                 # gradients
                 a_p = lam * _SHARP * sig * g + lam_omni * _SHARP * sig
-                b_p = lam * S * h / d
+                b_p = lam * S * h * rinv
                 c_v = lam * S * h
                 for i in range(3):
                     gp[i] = gp[i] + a_p * u3[i] + b_p * q3[i]
@@ -396,15 +417,15 @@ def _make_kernel(
                 # Hessian blocks
                 sh2 = _SHARP * _SHARP
                 c1 = sh2 * sigp * g
-                c2 = _SHARP * sig * g / d
-                c3 = _SHARP * sig * h / d
-                c4 = S * eg3 / d2
-                c5 = S * h / d2
+                c2 = _SHARP * sig * g * rinv
+                c3 = _SHARP * sig * h * rinv
+                c4 = S * eg3 * rinv2
+                c5 = S * h * rinv2
                 o1 = sh2 * sigp
-                o2 = _SHARP * sig / d
+                o2 = _SHARP * sig * rinv
                 m1 = _SHARP * sig * h
-                m2 = S * eg3 / d
-                m3 = S * h / d
+                m2 = S * eg3 * rinv
+                m3 = S * h * rinv
                 vv = lam * S * eg3
                 for i in range(3):
                     for j in range(3):
