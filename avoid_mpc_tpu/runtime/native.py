@@ -491,6 +491,19 @@ def _bind_mavconn(lib):
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.mav_video_client_destroy.argtypes = [ctypes.c_void_p]
+    lib.adhoc_create_local.restype = ctypes.c_void_p
+    lib.adhoc_create_local.argtypes = [ctypes.c_int]
+    lib.adhoc_create_remote.restype = ctypes.c_void_p
+    lib.adhoc_create_remote.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.adhoc_send.restype = ctypes.c_int
+    lib.adhoc_send.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.adhoc_recv.restype = ctypes.c_int
+    lib.adhoc_recv.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+    ]
+    lib.adhoc_received.restype = ctypes.c_uint64
+    lib.adhoc_received.argtypes = [ctypes.c_void_p]
+    lib.adhoc_destroy.argtypes = [ctypes.c_void_p]
     lib._mavconn_bound = True
 
 
@@ -914,6 +927,65 @@ class MavVideoClient:
     def close(self):
         if getattr(self, "_ptr", None):
             self._lib.mav_video_client_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.close()
+
+
+class AdHocConnection:
+    """Raw-datagram UDP link to a NON-MAVLink peer — the reference's
+    AdHocConnection (MavLinkCom/include/AdHocConnection.hpp): ``local``
+    binds a port and latches the first sender as the reply address
+    (connectLocalUdp); ``remote`` targets a known address from an ephemeral
+    port (connectRemoteUdp).  Messages are raw bytes, no framing/CRC
+    (runtime/adhoc.cpp)."""
+
+    _CAP = 65536
+
+    def __init__(self, ptr, lib):
+        self._ptr = ptr
+        self._lib = lib
+        self._buf = ctypes.create_string_buffer(self._CAP)
+
+    @classmethod
+    def local(cls, local_port: int) -> "AdHocConnection":
+        lib = _load()
+        _bind_mavconn(lib)
+        ptr = lib.adhoc_create_local(local_port)
+        if not ptr:
+            raise OSError(f"adhoc_create_local failed (port {local_port})")
+        return cls(ptr, lib)
+
+    @classmethod
+    def remote(cls, host: str, port: int) -> "AdHocConnection":
+        lib = _load()
+        _bind_mavconn(lib)
+        ptr = lib.adhoc_create_remote(host.encode(), port)
+        if not ptr:
+            raise OSError(f"adhoc_create_remote failed ({host}:{port})")
+        return cls(ptr, lib)
+
+    def send(self, data: bytes) -> int:
+        """Bytes sent; raises if no remote is known yet (local mode before
+        the first inbound datagram)."""
+        n = self._lib.adhoc_send(self._ptr, data, len(data))
+        if n < 0:
+            raise OSError("adhoc_send: no remote latched yet")
+        return int(n)
+
+    def recv(self, timeout_s: float = 1.0):
+        """Oldest queued datagram as bytes, or None on timeout."""
+        n = self._lib.adhoc_recv(self._ptr, self._buf, self._CAP, timeout_s)
+        return self._buf.raw[:n] if n > 0 else None
+
+    @property
+    def received(self) -> int:
+        return int(self._lib.adhoc_received(self._ptr))
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            self._lib.adhoc_destroy(self._ptr)
             self._ptr = None
 
     def __del__(self):
