@@ -591,6 +591,7 @@ def _solve_fused(
     kw = dict(
         iters=hp.iters, n_alphas=hp.n_alphas, bq_iters=hp.boxqp_iters,
         reg_init=hp.reg_init, reg_min=hp.reg_min, reg_max=hp.reg_max,
+        grad_tol=hp.grad_tol,
     )
 
     # custom_vmap: every traced value must be an explicit argument (closed-

@@ -32,8 +32,10 @@ Semantics match :func:`avoid_mpc_tpu.solver.ilqr.solve` on the LTI
 (interpret mode on CPU) and on-chip.
 
 Reference analogue: the warm-started IPOPT solve capped at 10 iterations
-(``HighLvlMpc.cpp:17-23``) — here the cap is the static ``iters`` and each
-"iteration" is the DDP analogue of one SQP step.
+with tol 1e-4 (``HighLvlMpc.cpp:17-23``) — here the cap is the static
+``iters``, each "iteration" is the DDP analogue of one SQP step, and the
+outer loop exits early once the projected gradient certifies stationarity
+for every lane in the batch tile (``grad_tol``, the IPOPT-tol analogue).
 """
 
 from __future__ import annotations
@@ -140,6 +142,7 @@ def _make_kernel(
     reg_init: float,
     reg_min: float,
     reg_max: float,
+    grad_tol: float,
 ):
     alphas = [2.0**-i for i in range(n_alphas)]
 
@@ -614,9 +617,17 @@ def _make_kernel(
         )
         arow = jax.lax.broadcasted_iota(jnp.int32, (n_a,) + bsh, 0)
 
-        def outer(_, carry):
-            cost, reg = carry
+        def outer(carry):
+            i, cost, reg, _ = carry
             dV1, dV2, pg = backward(reg)
+            # Reference exit semantics (HighLvlMpc.cpp:17-23: IPOPT tol 1e-4
+            # within max_iter 10): stop iterating once the projected
+            # gradient certifies stationarity.  SPMD grain = the batch tile,
+            # so the exit fires when EVERY lane in the tile is stationary; a
+            # stationary iterate is a fixed point of further iterations (the
+            # Armijo test cannot accept a non-improving candidate), so
+            # early-exit returns the same trajectory to fp noise.
+            done = jnp.max(pg) < grad_tol
 
             # one (A, BS, BL)-slab rollout evaluates every alpha's cost at
             # once AND persists every candidate trajectory
@@ -660,9 +671,17 @@ def _make_kernel(
                 jnp.maximum(reg * 0.2, reg_min),
                 jnp.minimum(jnp.maximum(reg, 1e-4) * 8.0, reg_max),
             )
-            return (cost_new, reg_new)
+            return (i + jnp.int32(1), cost_new, reg_new, done)
 
-        cost, reg = jax.lax.fori_loop(0, iters, outer, (cost0, reg0))
+        def outer_cond(carry):
+            i, _, _, done = carry
+            return jnp.logical_and(i < iters, jnp.logical_not(done))
+
+        _, cost, reg, _ = jax.lax.while_loop(
+            outer_cond,
+            outer,
+            (jnp.int32(0), cost0, reg0, jnp.asarray(False)),
+        )
         # final-iterate certificate: linearize + sweep at the returned point
         _, _, pg = backward(reg)
         stats_ref[0:1] = cost[None]
@@ -683,8 +702,8 @@ def _tile_shape(bt: int) -> tuple[int, int]:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "iters", "n_alphas", "bq_iters",
-        "reg_init", "reg_min", "reg_max", "block_b", "block_shape", "interpret",
+        "iters", "n_alphas", "bq_iters", "reg_init", "reg_min", "reg_max",
+        "grad_tol", "block_b", "block_shape", "interpret",
     ),
 )
 def sqp_solve_batched(
@@ -693,6 +712,7 @@ def sqp_solve_batched(
     x0, us_init, ref, obstacles, target,
     iters: int = 10, n_alphas: int = 8, bq_iters: int = 4,
     reg_init: float = 1e-6, reg_min: float = 1e-9, reg_max: float = 1e6,
+    grad_tol: float = 1e-4,
     block_b: int = 1024, block_shape: tuple[int, int] | None = None,
     interpret: bool = False,
 ):
@@ -757,7 +777,7 @@ def sqp_solve_batched(
     us_out, xs_out, stats = pl.pallas_call(
         _make_kernel(
             n, n_obs, iters, n_alphas, bq_iters,
-            float(reg_init), float(reg_min), float(reg_max),
+            float(reg_init), float(reg_min), float(reg_max), float(grad_tol),
         ),
         grid=grid,
         in_specs=[

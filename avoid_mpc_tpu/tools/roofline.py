@@ -125,7 +125,11 @@ def main():
     n_pts = int(os.environ.get("BENCH_POINTS", 1024))
     sqp_iters = 10
     dtype = jnp.float32
-    step, cfg = _solve_step_fn(dtype, sqp_iters=sqp_iters)
+    # grad_tol=0 disables the tol early exit: this tool characterizes the
+    # FULL-BUDGET (fixed 10-iteration) program the analytic tally models;
+    # the production path exits at tol 1e-4 like the reference's IPOPT
+    # and runs ~2.3x faster on the bench workload (BENCH_r04).
+    step, cfg = _solve_step_fn(dtype, sqp_iters=sqp_iters, grad_tol=0.0)
     n = cfg.horizon_steps
     hp = SolverHyper(iters=sqp_iters)
     k_nn = 3
@@ -198,6 +202,7 @@ def main():
 
     out = {
         "metric": "roofline_mpc_step",
+        "iter_budget": "fixed (tol exit disabled for this analysis)",
         "batch": b,
         "horizon": n,
         "cloud_points": n_pts,

@@ -178,6 +178,9 @@ def main():
             "horizon": n,
             "cloud_points": n_pts,
             "sqp_iters": 10,
+            "iter_exit": "grad_tol 1e-4 within max 10 iters, per batch tile"
+                         " (the reference's IPOPT tol/max_iter semantics,"
+                         " HighLvlMpc.cpp:17-23)",
             "timed_steps": len(lat_chain),
             "compile_s": round(compile_s + compile_chain_s, 1),
             "device": str(jax.devices()[0]),
