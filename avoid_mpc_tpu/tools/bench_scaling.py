@@ -106,7 +106,13 @@ def run_one(nd: int) -> dict:
 def sweep() -> dict:
     cores = os.cpu_count() or 1
     curve = {}
-    for nd in (1, 2, 4, 8):
+    # The 1-device baseline runs TWICE — once before and once after the
+    # sweep — and the efficiency normalizes by the FASTER of the two: on a
+    # shared/virtualized host the single-CPU rate drifts over minutes, and a
+    # slow baseline run manufactures >1 "super-linear" efficiencies (seen
+    # twice in round 4; 84.7 ms vs 131 ms for the identical n=1 workload).
+    t1_runs = []
+    for nd in (1, 2, 4, 8, 1):
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU claim in children
         env["XLA_FLAGS"] = "--xla_cpu_multi_thread_eigen=false"
@@ -120,10 +126,16 @@ def sweep() -> dict:
             curve[str(nd)] = {"error": r.stderr[-1000:]}
             continue
         res = json.loads(r.stdout.strip().splitlines()[-1])
-        curve[str(nd)] = res
+        if nd == 1:
+            t1_runs.append(res.get("p50_ms"))
+        if str(nd) not in curve:
+            curve[str(nd)] = res
         print(json.dumps({str(nd): res}), file=sys.stderr, flush=True)
 
-    t1 = curve.get("1", {}).get("p50_ms")
+    t1 = min((t for t in t1_runs if t), default=None)
+    if t1 is not None and curve.get("1", {}).get("p50_ms"):
+        curve["1"]["p50_ms_baseline_runs"] = t1_runs
+        curve["1"]["p50_ms"] = t1
     if t1:
         for nd in (2, 4, 8):
             e = curve.get(str(nd), {})
@@ -136,7 +148,8 @@ def sweep() -> dict:
         "host_cores": cores,
         "protocol": (
             f"per-size subprocess, single-threaded eigen per device; compile "
-            f"excluded; median of {TIMED_STEPS} steps; ideal weak time = "
+            f"excluded; median of {TIMED_STEPS} steps; t1 = min of two "
+            f"baseline runs (host-drift guard); ideal weak time = "
             f"t1 * n / min(n, {cores}); pass band [0.8, 1.15]"
         ),
         "devices": curve,
