@@ -124,8 +124,15 @@ class EngineHyper(NamedTuple):
             k=m.nearest_point_count,
             max_outer_iters=m.mpc_max_iter,
             task_mode=TASK_GLOBAL_GOAL if cfg.task.task == "global_goal" else TASK_FORWARD,
-            solver=SolverHyper.from_config(m, fast=False),
-            solver_fast=SolverHyper.from_config(m, fast=True),
+            # tol_exit off: these solves live inside the scanned world/tick
+            # programs where the while_loop's dynamic trip count explodes
+            # XLA compile time (see SolverHyper.tol_exit)
+            solver=SolverHyper.from_config(m, fast=False)._replace(
+                tol_exit=False
+            ),
+            solver_fast=SolverHyper.from_config(m, fast=True)._replace(
+                tol_exit=False
+            ),
             use_ttc=m.ttc_threshold > 0.0,
         )
 

@@ -89,6 +89,12 @@ class SolverHyper(NamedTuple):
     reg_min: float = 1e-9
     reg_max: float = 1e6
     grad_tol: float = 1e-4  # reported-convergence threshold (IPOPT tol analogue)
+    # Exit the fused kernel's outer loop at grad_tol (the reference's IPOPT
+    # tol/max_iter semantics).  Disable for solves embedded in large scanned
+    # programs (the closed-loop world step): the while_loop's dynamic trip
+    # count explodes XLA compile time there, and the engine's small budgets
+    # gain little from exiting early.  Solutions are identical either way.
+    tol_exit: bool = True
     # Use the fused Pallas Riccati sweep when vmapped on TPU f32 (the XLA
     # scan path otherwise; results agree to fp tolerance).
     use_pallas: bool = True
@@ -591,7 +597,7 @@ def _solve_fused(
     kw = dict(
         iters=hp.iters, n_alphas=hp.n_alphas, bq_iters=hp.boxqp_iters,
         reg_init=hp.reg_init, reg_min=hp.reg_min, reg_max=hp.reg_max,
-        grad_tol=hp.grad_tol,
+        grad_tol=hp.grad_tol, tol_exit=hp.tol_exit,
     )
 
     # custom_vmap: every traced value must be an explicit argument (closed-

@@ -143,6 +143,7 @@ def _make_kernel(
     reg_min: float,
     reg_max: float,
     grad_tol: float,
+    tol_exit: bool,
 ):
     alphas = [2.0**-i for i in range(n_alphas)]
 
@@ -673,15 +674,25 @@ def _make_kernel(
             )
             return (i + jnp.int32(1), cost_new, reg_new, done)
 
-        def outer_cond(carry):
-            i, _, _, done = carry
-            return jnp.logical_and(i < iters, jnp.logical_not(done))
+        # tol_exit=False compiles the fixed-budget fori_loop instead of the
+        # while_loop: the dynamic trip count blows up XLA compile time when
+        # this kernel is embedded in large scanned programs (the closed-loop
+        # world step: a 100-tick scan x 3 engine solves never finished
+        # compiling in 40 min with while, vs ~minutes with fori).  Results
+        # are identical either way (stationary iterates are fixed points);
+        # only wall time differs on converged workloads.
+        carry0 = (jnp.int32(0), cost0, reg0, jnp.asarray(False))
+        if tol_exit:
 
-        _, cost, reg, _ = jax.lax.while_loop(
-            outer_cond,
-            outer,
-            (jnp.int32(0), cost0, reg0, jnp.asarray(False)),
-        )
+            def outer_cond(carry):
+                i, _, _, done = carry
+                return jnp.logical_and(i < iters, jnp.logical_not(done))
+
+            _, cost, reg, _ = jax.lax.while_loop(outer_cond, outer, carry0)
+        else:
+            _, cost, reg, _ = jax.lax.fori_loop(
+                0, iters, lambda _, c: outer(c), carry0
+            )
         # final-iterate certificate: linearize + sweep at the returned point
         _, _, pg = backward(reg)
         stats_ref[0:1] = cost[None]
@@ -703,7 +714,7 @@ def _tile_shape(bt: int) -> tuple[int, int]:
     jax.jit,
     static_argnames=(
         "iters", "n_alphas", "bq_iters", "reg_init", "reg_min", "reg_max",
-        "grad_tol", "block_b", "block_shape", "interpret",
+        "grad_tol", "tol_exit", "block_b", "block_shape", "interpret",
     ),
 )
 def sqp_solve_batched(
@@ -712,7 +723,7 @@ def sqp_solve_batched(
     x0, us_init, ref, obstacles, target,
     iters: int = 10, n_alphas: int = 8, bq_iters: int = 4,
     reg_init: float = 1e-6, reg_min: float = 1e-9, reg_max: float = 1e6,
-    grad_tol: float = 1e-4,
+    grad_tol: float = 1e-4, tol_exit: bool = True,
     block_b: int = 1024, block_shape: tuple[int, int] | None = None,
     interpret: bool = False,
 ):
@@ -778,6 +789,7 @@ def sqp_solve_batched(
         _make_kernel(
             n, n_obs, iters, n_alphas, bq_iters,
             float(reg_init), float(reg_min), float(reg_max), float(grad_tol),
+            bool(tol_exit),
         ),
         grid=grid,
         in_specs=[

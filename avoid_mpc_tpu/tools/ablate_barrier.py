@@ -23,7 +23,13 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 import time
+
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+)
 
 # name -> (lam_omni, margin_v, ttc_threshold)
 CONFIGS: dict[str, tuple[float, float, float]] = {
