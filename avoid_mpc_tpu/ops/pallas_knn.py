@@ -171,6 +171,11 @@ def knn_pallas_batched(
             pltpu.VMEM((q, k, bt), jnp.float32),
             pltpu.VMEM((3, q, k, bt), jnp.float32),
         ],
+        # map-maintenance queries (dedupe/prune) run Q = points-per-frame
+        # (3072 in the campaign worlds): the query block + outputs + scratch
+        # total ~16.5 MB, just over Mosaic's 16 MB default scoped-VMEM limit
+        # (v5e has 128 MB physical)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(qf, pf, mi)
 
