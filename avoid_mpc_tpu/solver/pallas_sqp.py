@@ -751,7 +751,16 @@ def sqp_solve_batched(
         bt = bs_t * bl
     pad = (-b) % bt
     if pad:
-        padf = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        # Replicate the LAST REAL scenario into the padding lanes (edge mode)
+        # rather than zero-filling: the tol early exit takes a max over every
+        # lane in the tile, and an all-zero problem (obstacle at the drone's
+        # position) may never reach stationarity — one such lane would
+        # silently disable the early exit for the whole tile at non-aligned
+        # batch sizes.  A replicated lane converges exactly when its real
+        # twin does, so padding never gates the exit.
+        padf = lambda a: jnp.pad(
+            a, [(0, pad)] + [(0, 0)] * (a.ndim - 1), mode="edge"
+        )
         x0, us_init, ref, obstacles, target = map(
             padf, (x0, us_init, ref, obstacles, target)
         )

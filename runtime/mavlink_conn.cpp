@@ -28,6 +28,7 @@
 #include <termios.h>
 #include <unistd.h>
 
+#include <cerrno>
 #include <cstdio>
 
 #include <atomic>
@@ -251,16 +252,35 @@ void rx_loop(Conn* c) {
 }
 
 int send_frame(Conn* c, const uint8_t* frame, int len) {
-    ssize_t n;
-    if (c->is_serial) {
-        n = write(c->fd, frame, static_cast<size_t>(len));
-    } else if (c->is_stream) {
-        n = send(c->fd, frame, static_cast<size_t>(len), MSG_NOSIGNAL);
-    } else {
-        n = sendto(c->fd, frame, static_cast<size_t>(len), 0,
-                   reinterpret_cast<const sockaddr*>(&c->remote),
-                   sizeof(c->remote));
+    if (c->is_serial || c->is_stream) {
+        // Byte streams must write the WHOLE frame: a short write would leave
+        // a partial frame in the stream, desyncing the peer's parser (it
+        // drops the frame and resyncs on the next magic).  Plausible under
+        // buffer pressure, e.g. 65+ back-to-back ENCAPSULATED_DATA frames
+        // during video streaming — so loop until written or hard error.
+        int off = 0;
+        while (off < len) {
+            ssize_t n =
+                c->is_serial
+                    ? write(c->fd, frame + off, static_cast<size_t>(len - off))
+                    : send(c->fd, frame + off, static_cast<size_t>(len - off),
+                           MSG_NOSIGNAL);
+            if (n > 0) {
+                off += static_cast<int>(n);
+                continue;
+            }
+            if (n < 0 && (errno == EINTR || errno == EAGAIN ||
+                          errno == EWOULDBLOCK))
+                continue;  // transient: retry the remainder
+            return -1;     // hard error (peer gone, fd closed, ...)
+        }
+        log_frame(c, frame, len);
+        return 0;
     }
+    // Datagram: all-or-nothing by construction.
+    ssize_t n = sendto(c->fd, frame, static_cast<size_t>(len), 0,
+                       reinterpret_cast<const sockaddr*>(&c->remote),
+                       sizeof(c->remote));
     if (n == len) log_frame(c, frame, len);
     return n == len ? 0 : -1;
 }

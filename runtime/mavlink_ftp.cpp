@@ -14,8 +14,10 @@
 // The server roots all paths under a directory given at creation (leading
 // '/' stripped, ".." rejected) and keeps one read/write session, mirroring
 // the single-session use the reference client makes.  The client issues
-// blocking ops with resend-on-timeout, matching replies via req_opcode on
-// the connection's subscriber hook (mavlink_conn.cpp).
+// blocking ops with resend-on-timeout, matching replies via req_opcode AND
+// seq (rep.seq == req.seq + 1) on the connection's subscriber hook
+// (mavlink_conn.cpp), so delayed duplicates from earlier requests of the
+// same opcode are discarded rather than corrupting the current transfer.
 
 #include <dirent.h>
 #include <sys/stat.h>
@@ -197,7 +199,10 @@ void server_handle(void* ctx, uint32_t msgid, const uint8_t* payload,
                 return reply_nak(s, req, kErrFail);
             DIR* d = opendir(path.c_str());
             if (!d) return reply_nak(s, req, kErrNotFound);
-            // entries are returned sorted by readdir order; `offset` skips
+            // entries are returned sorted by readdir order; `offset` skips.
+            // idx counts only entries we can actually emit (stat-ok): the
+            // client advances its offset per returned entry, so counting a
+            // stat-failed entry here would make later pages skip or repeat.
             uint32_t idx = 0;
             int used = 0;
             dirent* e;
@@ -205,10 +210,10 @@ void server_handle(void* ctx, uint32_t msgid, const uint8_t* payload,
                 if (!std::strcmp(e->d_name, ".") ||
                     !std::strcmp(e->d_name, ".."))
                     continue;
-                if (idx++ < req.offset) continue;
                 std::string full = path + "/" + e->d_name;
                 struct stat st {};
                 if (stat(full.c_str(), &st) != 0) continue;
+                if (idx++ < req.offset) continue;
                 char entry[300];
                 int n;
                 if (S_ISDIR(st.st_mode)) {
@@ -386,9 +391,16 @@ int transact(FtpClient* c, FtpPacket* req, FtpPacket* out, double timeout_s) {
         }
         send_pkt(c->conn, *req);
         std::unique_lock<std::mutex> lock(c->mu);
+        // Match on seq, not just req_opcode: with resend-on-timeout a delayed
+        // duplicate reply to a PREVIOUS request of the same opcode must not be
+        // accepted for this one (it could carry another offset's data).  The
+        // protocol gives us rep.seq == req.seq + 1; non-matching replies are
+        // discarded by the predicate and we keep waiting.
+        const uint16_t want_seq = static_cast<uint16_t>(req->seq + 1);
         if (c->cv.wait_for(lock, std::chrono::milliseconds(200), [&] {
                 return c->have_reply &&
-                       c->reply.req_opcode == req->opcode;
+                       c->reply.req_opcode == req->opcode &&
+                       c->reply.seq == want_seq;
             })) {
             *out = c->reply;
             if (out->opcode == kOpNak)
@@ -523,6 +535,13 @@ long mav_ftp_get(void* h, const char* remote, const char* local,
         if (rc != 0) {
             fclose(fp);
             return rc == -1 ? -1 : -rc;
+        }
+        // Defensive: the seq match in transact() already pairs this reply to
+        // this request, but a reply whose echoed offset disagrees with what we
+        // asked for must never be appended at the wrong file position.
+        if (rrep.offset != rreq.offset) {
+            fclose(fp);
+            return -1;
         }
         fwrite(rrep.data, 1, rrep.size, fp);
         got += rrep.size;
