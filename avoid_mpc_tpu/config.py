@@ -137,6 +137,18 @@ class MPCConfig:
     # tol 1e-4, warm start on: tools/mpc_obstacle_casadi.py:232-240) ---
     sqp_iters: int = 10
     sqp_iters_fast: int = 6  # the "solverFaster" analogue (HighLvlMpc.cpp:50-52)
+
+    # --- sub-linear obstacle association (new; replaces the KD-tree's
+    # algorithmic role, kd_tree_two.h:108-133).  Per-stage k-NN first culls
+    # the rolling cloud to the points within assoc_radius (L-inf) of the
+    # horizon path's bounding box — exact for every neighbor within that
+    # radius, and the collision softplus (slope -32, drone_radius 0.5)
+    # underflows to exactly 0 in f32 beyond ~1.6 m, so 2.5 m preserves the
+    # solve bit-for-bit.  assoc_m_max bounds the candidate set; overflow
+    # (denser tube than m_max points) is handled conservatively (replan +
+    # slow-down).  assoc_radius <= 0 disables the cull (pure brute force).
+    assoc_radius: float = 2.5
+    assoc_m_max: int = 2048
     line_search_alphas: int = 8
     reg_init: float = 1e-6
     reg_min: float = 1e-9

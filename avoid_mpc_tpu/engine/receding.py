@@ -53,7 +53,9 @@ from avoid_mpc_tpu.config import GRAVITY, STATE_DIM, EngineConfig
 from avoid_mpc_tpu.mapping.rolling_map import (
     RollingMap,
     map_nearest_distance,
+    map_nonempty,
     map_query,
+    map_query_culled,
 )
 from avoid_mpc_tpu.solver.ilqr import (
     MPCProblem,
@@ -115,6 +117,13 @@ class EngineHyper(NamedTuple):
     # 1-NN query — the disabled feature costs nothing (ADVICE r2).  Enabling
     # recompiles, matching how the other shape knobs work.
     use_ttc: bool = False
+    # Sub-linear obstacle association (the KD-tree's algorithmic role,
+    # kd_tree_two.h:108-133): cull the cloud to the horizon path's bbox
+    # expanded by assoc_radius before the per-stage k-NN.  Exact within the
+    # radius; the collision softplus is exactly 0 in f32 beyond ~1.6 m
+    # (see MPCConfig.assoc_radius).  radius <= 0 -> pure brute force.
+    assoc_radius: float = 2.5
+    assoc_m_max: int = 2048
 
     @staticmethod
     def from_config(cfg: EngineConfig) -> "EngineHyper":
@@ -134,6 +143,8 @@ class EngineHyper(NamedTuple):
                 tol_exit=False
             ),
             use_ttc=m.ttc_threshold > 0.0,
+            assoc_radius=m.assoc_radius,
+            assoc_m_max=m.assoc_m_max,
         )
 
 
@@ -213,14 +224,32 @@ def _edge_warm_start(ref: jax.Array, m: RollingMap, p: EngineParams):
     return ref, is_safety
 
 
-def _associate_obstacles(ref: jax.Array, m: RollingMap, p: EngineParams, k: int):
+def _associate_obstacles(
+    ref: jax.Array, m: RollingMap, p: EngineParams, k: int, h: "EngineHyper"
+):
     """``ProcessWaypoints`` (:204-235): per-stage k-NN + unsafe check.
-    knn already pads missing neighbors with the far sentinel (:225)."""
+    knn already pads missing neighbors with the far sentinel (:225).
+
+    With ``h.assoc_radius > 0`` the k-NN goes through the bbox cull
+    (sub-linear in map size, exact within the radius): a not-found slot then
+    means "nearest > assoc_radius >> safety_distance", so the reference's
+    "distances empty -> replan" clause maps to the map actually being empty;
+    candidate-set overflow is folded into need_replan (conservative).
+    Returns ``(pts, need_replan, overflow)``."""
+    if h.assoc_radius > 0:
+        dists, pts, overflow = map_query_culled(
+            m, ref[:, 0:3], k=k, r_cut=h.assoc_radius, m_max=h.assoc_m_max,
+            edge=False,
+        )
+        nearest = dists[:, 0]
+        stage_bad = jnp.isfinite(nearest) & (nearest <= p.safety_distance)
+        need_replan = jnp.any(stage_bad) | ~map_nonempty(m) | overflow
+        return pts, need_replan, overflow
     dists, pts = map_query(m, ref[:, 0:3], k=k, edge=False)
     nearest = dists[:, 0]
     # "distances empty or nearest <= safety" -> replan (:228-231)
     need_replan = jnp.any(~jnp.isfinite(nearest) | (nearest <= p.safety_distance))
-    return pts, need_replan
+    return pts, need_replan, jnp.asarray(False)
 
 
 def _build_target(ref: jax.Array, pos: jax.Array, p: EngineParams):
@@ -263,10 +292,13 @@ def receding_step(
     dtype = quad_state.dtype
 
     def outer(carry, it):
-        ref, us_warm, active, is_safety, need_replan, pred, obstacles, cost = carry
+        (ref, us_warm, active, is_safety, need_replan, pred, obstacles, cost,
+         overflow) = carry
 
         ref_i, safety_i = _edge_warm_start(ref, rolling_map, p)
-        obstacles_i, replan_i = _associate_obstacles(ref_i, rolling_map, p, k)
+        obstacles_i, replan_i, ovf_i = _associate_obstacles(
+            ref_i, rolling_map, p, k, h
+        )
 
         # early exit (:333-335): stop when safe & associated & not 1st iter
         stop_now = (~replan_i) & (it > 0) & safety_i
@@ -296,6 +328,7 @@ def receding_step(
             sel(res.xs, pred),
             sel(obstacles_i, obstacles),
             sel(res.cost, cost),
+            overflow | (active & ovf_i),
         )
         return carry, run
 
@@ -308,10 +341,17 @@ def receding_step(
         jnp.zeros((n + 1, STATE_DIM), dtype=dtype),
         jnp.full((n, k, 3), 1e4, dtype=dtype),
         jnp.asarray(jnp.inf, dtype=dtype),
+        jnp.asarray(False),
     )
-    (ref, us_warm, _, is_safety, need_replan, pred, obstacles, cost), ran = jax.lax.scan(
+    (ref, us_warm, _, is_safety, need_replan, pred, obstacles, cost,
+     assoc_overflow), ran = jax.lax.scan(
         outer, init, jnp.arange(h.max_outer_iters)
     )
+    # Candidate-set overflow means the k-NN guarantee was degraded this tick:
+    # conservatively take the PD slow-down (documented divergence — the
+    # reference's exact tree has no such failure mode; at assoc_m_max=2048
+    # this needs >2048 points inside the horizon tube).
+    is_safety = is_safety & ~assoc_overflow
 
     # TTC slow-down trigger (round-2 extension, default off): estimated
     # time-to-collision toward the current 1-NN obstacle below threshold

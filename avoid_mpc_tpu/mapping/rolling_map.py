@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from avoid_mpc_tpu.config import PerceptionConfig
-from avoid_mpc_tpu.ops.knn import knn, nearest_distance
+from avoid_mpc_tpu.ops.knn import knn, knn_culled, nearest_distance
 
 # DroneBehindPts inspects at most this many nearest points (FrameKDMap.cpp:239-240).
 _BEHIND_K = 10
@@ -255,6 +255,31 @@ def map_query(m: RollingMap, queries: jax.Array, k: int, edge: bool = False):
     FrameKDMap.cpp:322-376, minus the CPU fast path).
     queries: (Q,3) -> (dists (Q,k), points (Q,k,3))."""
     return knn(queries, _query_points(m, edge), _query_mask(m, edge), k)
+
+
+def map_query_culled(
+    m: RollingMap,
+    queries: jax.Array,
+    k: int,
+    r_cut: float,
+    m_max: int,
+    edge: bool = False,
+):
+    """k-NN over the map through the bbox cull (:func:`ops.knn.knn_culled`) —
+    the sub-linear path for large maps.  Exact (== :func:`map_query`) for
+    every neighbor within ``r_cut`` of its query; farther slots fall to the
+    inf/FAR_SENTINEL "not found" semantics.  Returns
+    ``(dists, pts, overflow)``."""
+    return knn_culled(
+        queries, _query_points(m, edge), _query_mask(m, edge), k, r_cut, m_max
+    )
+
+
+def map_nonempty(m: RollingMap, edge: bool = False) -> jax.Array:
+    """True when at least one point is queryable — distinguishes the
+    radius-bounded "nothing within r_cut" from the reference's "map empty"
+    (which forces a replan, AvoidanceStateMachine.cpp:228-231)."""
+    return jnp.any(_query_mask(m, edge))
 
 
 def map_nearest_distance(m: RollingMap, point: jax.Array) -> jax.Array:

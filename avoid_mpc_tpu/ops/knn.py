@@ -162,6 +162,77 @@ def knn_chunked(
     return jnp.sqrt(best_d2), best_p
 
 
+def cull_by_bbox(
+    queries: jax.Array,
+    points: jax.Array,
+    mask: jax.Array,
+    r_cut: float,
+    m_max: int,
+):
+    """Stream-compact the points within ``r_cut`` (L-inf) of the query bbox.
+
+    The sub-linear replacement for the KD-tree's *algorithmic* role
+    (``kd_tree_two.h:108-133``, ``FrameKDMap.cpp:322-376``): the engine's hot
+    queries are horizon stages along a ~10 m path, so every neighbor that can
+    matter lives in a small tube of the rolling cloud.  One cheap score pass
+    over P classifies points against the query bounding box expanded by
+    ``r_cut``; survivors are compacted into a fixed (m_max, 3) candidate set
+    by cumsum + searchsorted + gather — no scatter, no sort, all
+    TPU-friendly primitives that batch cleanly under vmap.
+
+    Completeness: any point within L2 distance <= r_cut of ANY query is
+    inside the expanded box (L-inf >= L2), so a k-NN over the candidates is
+    EXACT for every neighbor at distance <= r_cut — the same per-point
+    distance math over the same f32 values, with the original index order
+    preserved for ties (differences vs a brute-force call are limited to the
+    ~1-ulp reassociation XLA applies per compilation context).  Beyond
+    r_cut, slots fall to the inf/FAR_SENTINEL "not found" semantics.
+
+    Returns ``(cand_pts (m_max,3), cand_mask (m_max,), overflow bool)``.
+    ``overflow`` is True when more than m_max points survive the box test —
+    the candidate set then holds the first m_max by index and the caller
+    must treat the result conservatively.
+    """
+    p = points.shape[0]
+    lo = jnp.min(queries, axis=0) - r_cut
+    hi = jnp.max(queries, axis=0) + r_cut
+    inbox = jnp.all((points >= lo) & (points <= hi), axis=-1) & mask  # (P,)
+    cs = jnp.cumsum(inbox.astype(jnp.int32))
+    count = cs[-1]
+    # sel[j] = index of the (j+1)-th surviving point (first idx with cs > j)
+    sel = jnp.searchsorted(cs, jnp.arange(1, m_max + 1, dtype=cs.dtype))
+    cand_mask = jnp.arange(m_max) < count
+    sel = jnp.minimum(sel, p - 1)
+    cand_pts = points[sel]
+    return cand_pts, cand_mask, count > m_max
+
+
+def knn_culled(
+    queries: jax.Array,
+    points: jax.Array,
+    mask: jax.Array,
+    k: int,
+    r_cut: float,
+    m_max: int,
+):
+    """k-NN through the bbox cull: exact (== :func:`knn`) for every neighbor
+    within ``r_cut`` of its query; farther slots report inf/FAR_SENTINEL.
+
+    Returns ``(dists, pts, overflow)``.  Falls back to plain :func:`knn`
+    when the cloud is already small (P <= 2 * m_max — the "brute force below
+    ~4k points" regime where the cull pass costs more than it saves).
+    """
+    p = points.shape[0]
+    if p <= 2 * m_max:
+        d, pts = knn(queries, points, mask, k)
+        return d, pts, jnp.asarray(False)
+    cand_pts, cand_mask, overflow = cull_by_bbox(
+        queries, points, mask, r_cut, m_max
+    )
+    d, pts = knn(queries, cand_pts, cand_mask, k)
+    return d, pts, overflow
+
+
 def nearest_distance(query: jax.Array, points: jax.Array, mask: jax.Array) -> jax.Array:
     """1-NN distance from a single (3,) query — the ``GetNearestDistance``
     analogue (FrameKDMap.cpp:400-427). Returns +inf on an empty map."""

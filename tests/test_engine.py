@@ -291,3 +291,54 @@ def test_global_goal_task_steps_toward_goal():
     # and a full receding_step in global-goal mode flies without error
     _, out = receding_step(es, hover_state(), empty_map(), P, h_gg)
     assert bool(jnp.all(jnp.isfinite(out.u_cmd)))
+
+
+def test_culled_association_matches_brute_on_big_map():
+    """The sub-linear bbox-culled association (assoc_radius > 0, map big
+    enough to engage the cull) must reproduce the brute-force engine tick:
+    same command, same safety/replan verdicts, same predicted path.  The
+    collision softplus underflows beyond ~1.6 m, so the 2.5 m radius
+    preserves the solve to solver precision (MPCConfig.assoc_radius)."""
+    big_shape = MapShape(n_frames=2, points_per_frame=4096)
+    rng = np.random.default_rng(21)
+    # dense wall on the path + scatter filling the rest of the field
+    ys = np.linspace(-0.9, 1.1, 16)
+    zs = np.linspace(0.1, 3.0, 16)
+    yy, zz = np.meshgrid(ys, zs)
+    wall = np.stack([np.full(256, 4.0), yy.ravel(), zz.ravel()], axis=1)
+    scatter = rng.uniform([-5, -20, 0], [60, 20, 8], (4096 * 2 - 256, 3))
+    pts = np.concatenate([wall, scatter]).reshape(2, 4096, 3)
+    m = map_init(big_shape, dtype=DTYPE)
+    m = m._replace(
+        kf_points=jnp.asarray(pts, DTYPE),
+        kf_mask=jnp.ones((2, 4096), bool),
+        kf_edge_points=jnp.asarray(pts + 0.05, DTYPE),
+        kf_edge_mask=jnp.ones((2, 4096), bool),
+        kf_valid=jnp.ones(2, bool),
+        head=jnp.asarray(1, jnp.int32), count=jnp.asarray(2, jnp.int32),
+        cur_points=jnp.asarray(pts[0], DTYPE), cur_mask=jnp.ones(4096, bool),
+        cur_edge_points=jnp.asarray(pts[0] + 0.05, DTYPE),
+        cur_edge_mask=jnp.ones(4096, bool),
+        cur_valid=jnp.asarray(True),
+    )
+    # queryable set = cur + keyframes-minus-newest = 8192 points > 2*m_max
+    h_cull = H._replace(assoc_radius=2.5, assoc_m_max=2048)
+    h_brute = H._replace(assoc_radius=0.0)
+    es = engine_init(CFG, dtype=DTYPE)
+    quad = hover_state(x=1.0)
+    for _ in range(3):
+        es_c, out_c = receding_step(es, quad, m, P, h_cull)
+        es_b, out_b = receding_step(es, quad, m, P, h_brute)
+        np.testing.assert_allclose(
+            np.asarray(out_c.u_cmd), np.asarray(out_b.u_cmd), atol=1e-9
+        )
+        assert bool(out_c.is_safety) == bool(out_b.is_safety)
+        assert bool(out_c.need_replan) == bool(out_b.need_replan)
+        np.testing.assert_allclose(
+            np.asarray(out_c.predicted), np.asarray(out_b.predicted), atol=1e-7
+        )
+        es = es_c._replace(ref_path=es_b.ref_path)  # advance (identical anyway)
+        np.testing.assert_allclose(
+            np.asarray(es_c.ref_path), np.asarray(es_b.ref_path), atol=1e-7
+        )
+        quad = jnp.asarray(out_b.predicted[1], DTYPE)
