@@ -144,9 +144,10 @@ class MPCConfig:
     # horizon path's bounding box — exact for every neighbor within that
     # radius, and the collision softplus (slope -32, drone_radius 0.5)
     # underflows to exactly 0 in f32 beyond ~1.6 m, so 2.5 m preserves the
-    # solve bit-for-bit.  assoc_m_max bounds the candidate set; overflow
-    # (denser tube than m_max points) is handled conservatively (replan +
-    # slow-down).  assoc_radius <= 0 disables the cull (pure brute force).
+    # solve to solver precision.  assoc_m_max bounds the candidate set; a
+    # denser tube (e.g. accumulated ground returns) is rescued by an exact
+    # brute-force fallback, so the cull never changes behavior.
+    # assoc_radius <= 0 disables the cull (pure brute force).
     assoc_radius: float = 2.5
     assoc_m_max: int = 2048
     line_search_alphas: int = 8
@@ -236,12 +237,55 @@ class TaskConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LidarConfig:
+    """Rotating-lidar sensor parameters (yaml ``lidar`` block).
+
+    Mirrors ``LidarSimpleParams`` (AirLib/include/sensors/lidar/
+    LidarSimpleParams.hpp:25-44 — the Velodyne VLP-16 defaults: 16 channels,
+    100 m range, 100k points/s, 10 rot/s, vertical FOV [-45, -15] deg for
+    multirotors, mounted 1 m above the body origin).  The reference's Unreal
+    scan generator is stripped from the vendored fork; the scan pattern here
+    follows AirSim's UnrealLidarSensor semantics: per update,
+    points_per_second / update_frequency rays split evenly across channels,
+    each channel sweeping rotations_per_second * 360 / update_frequency
+    degrees of azimuth from the carried horizontal angle.
+
+    ``range_std_dev`` (per-point range noise) is our extension (default 0 =
+    reference behavior); the vendored LidarSimple has no noise model.
+    Angles are degrees; the local frame is z-up (the reference's NED
+    relative position (0, 0, -1) becomes +1 here).
+    """
+
+    number_of_channels: int = 16
+    range: float = 100.0  # meters (10000 cm in the reference)
+    points_per_second: int = 100000
+    rotations_per_second: int = 10
+    horizontal_fov_start: float = 0.0
+    horizontal_fov_end: float = 359.0
+    vertical_fov_upper: float = -15.0  # multirotor defaults (simmode gate)
+    vertical_fov_lower: float = -45.0
+    update_frequency: float = 10.0  # Hz
+    rel_position: tuple[float, float, float] = (0.0, 0.0, 1.0)  # z-up
+    range_std_dev: float = 0.0  # per-point range noise (extension)
+
+    @property
+    def points_per_scan(self) -> int:
+        """Rays per update — static, shapes the output arrays."""
+        return int(self.points_per_second / self.update_frequency)
+
+    @property
+    def points_per_channel(self) -> int:
+        return self.points_per_scan // self.number_of_channels
+
+
+@dataclasses.dataclass(frozen=True)
 class EngineConfig:
     """Top-level bundle: MPC + perception + task."""
 
     mpc: MPCConfig = dataclasses.field(default_factory=MPCConfig)
     perception: PerceptionConfig = dataclasses.field(default_factory=PerceptionConfig)
     task: TaskConfig = dataclasses.field(default_factory=TaskConfig)
+    lidar: LidarConfig = dataclasses.field(default_factory=LidarConfig)
 
 
 def _pick(d: dict[str, Any], *names: str, default: Any = None) -> Any:
@@ -343,4 +387,21 @@ def load_config(path: str | None = None) -> EngineConfig:
         use_odom_est=bool(_pick(d, "use_odom_est", default=tdef.use_odom_est)),
         only_trust_vel=bool(_pick(d, "only_trust_vel", default=tdef.only_trust_vel)),
     )
-    return EngineConfig(mpc=mpc, perception=perception, task=task)
+    # optional nested lidar block (AirSimSettings LidarSetting key names,
+    # AirLib/include/sensors/lidar/LidarSimpleParams.hpp:49-77)
+    ldef = LidarConfig()
+    lb = d.get("lidar", {}) or {}
+    lidar = LidarConfig(
+        number_of_channels=int(_pick(lb, "NumberOfChannels", "number_of_channels", default=ldef.number_of_channels)),
+        range=float(_pick(lb, "Range", "range", default=ldef.range)),
+        points_per_second=int(_pick(lb, "PointsPerSecond", "points_per_second", default=ldef.points_per_second)),
+        rotations_per_second=int(_pick(lb, "RotationsPerSecond", "rotations_per_second", default=ldef.rotations_per_second)),
+        horizontal_fov_start=float(_pick(lb, "HorizontalFOVStart", "horizontal_fov_start", default=ldef.horizontal_fov_start)),
+        horizontal_fov_end=float(_pick(lb, "HorizontalFOVEnd", "horizontal_fov_end", default=ldef.horizontal_fov_end)),
+        vertical_fov_upper=float(_pick(lb, "VerticalFOVUpper", "vertical_fov_upper", default=ldef.vertical_fov_upper)),
+        vertical_fov_lower=float(_pick(lb, "VerticalFOVLower", "vertical_fov_lower", default=ldef.vertical_fov_lower)),
+        update_frequency=float(_pick(lb, "UpdateFrequency", "update_frequency", default=ldef.update_frequency)),
+        rel_position=tuple(float(v) for v in _pick(lb, "rel_position", default=ldef.rel_position)),
+        range_std_dev=float(_pick(lb, "range_std_dev", default=ldef.range_std_dev)),
+    )
+    return EngineConfig(mpc=mpc, perception=perception, task=task, lidar=lidar)

@@ -120,8 +120,9 @@ class EngineHyper(NamedTuple):
     # Sub-linear obstacle association (the KD-tree's algorithmic role,
     # kd_tree_two.h:108-133): cull the cloud to the horizon path's bbox
     # expanded by assoc_radius before the per-stage k-NN.  Exact within the
-    # radius; the collision softplus is exactly 0 in f32 beyond ~1.6 m
-    # (see MPCConfig.assoc_radius).  radius <= 0 -> pure brute force.
+    # radius (denser-than-m_max tubes rescued by exact brute force); the
+    # collision softplus is exactly 0 in f32 beyond ~1.6 m (see
+    # MPCConfig.assoc_radius).  radius <= 0 -> pure brute force.
     assoc_radius: float = 2.5
     assoc_m_max: int = 2048
 
@@ -231,11 +232,12 @@ def _associate_obstacles(
     knn already pads missing neighbors with the far sentinel (:225).
 
     With ``h.assoc_radius > 0`` the k-NN goes through the bbox cull
-    (sub-linear in map size, exact within the radius): a not-found slot then
-    means "nearest > assoc_radius >> safety_distance", so the reference's
-    "distances empty -> replan" clause maps to the map actually being empty;
-    candidate-set overflow is folded into need_replan (conservative).
-    Returns ``(pts, need_replan, overflow)``."""
+    (sub-linear in map size, exact within the radius; denser-than-m_max
+    tubes are rescued by an exact brute-force fallback inside knn_culled):
+    a not-found slot then means "nearest > assoc_radius >> safety_distance",
+    so the reference's "distances empty -> replan" clause maps to the map
+    actually being empty.  Returns ``(pts, need_replan, overflow)`` —
+    overflow is diagnostic only (the rescue keeps results exact)."""
     if h.assoc_radius > 0:
         dists, pts, overflow = map_query_culled(
             m, ref[:, 0:3], k=k, r_cut=h.assoc_radius, m_max=h.assoc_m_max,
@@ -243,7 +245,7 @@ def _associate_obstacles(
         )
         nearest = dists[:, 0]
         stage_bad = jnp.isfinite(nearest) & (nearest <= p.safety_distance)
-        need_replan = jnp.any(stage_bad) | ~map_nonempty(m) | overflow
+        need_replan = jnp.any(stage_bad) | ~map_nonempty(m)
         return pts, need_replan, overflow
     dists, pts = map_query(m, ref[:, 0:3], k=k, edge=False)
     nearest = dists[:, 0]
@@ -292,11 +294,10 @@ def receding_step(
     dtype = quad_state.dtype
 
     def outer(carry, it):
-        (ref, us_warm, active, is_safety, need_replan, pred, obstacles, cost,
-         overflow) = carry
+        ref, us_warm, active, is_safety, need_replan, pred, obstacles, cost = carry
 
         ref_i, safety_i = _edge_warm_start(ref, rolling_map, p)
-        obstacles_i, replan_i, ovf_i = _associate_obstacles(
+        obstacles_i, replan_i, _ovf_i = _associate_obstacles(
             ref_i, rolling_map, p, k, h
         )
 
@@ -328,7 +329,6 @@ def receding_step(
             sel(res.xs, pred),
             sel(obstacles_i, obstacles),
             sel(res.cost, cost),
-            overflow | (active & ovf_i),
         )
         return carry, run
 
@@ -341,17 +341,10 @@ def receding_step(
         jnp.zeros((n + 1, STATE_DIM), dtype=dtype),
         jnp.full((n, k, 3), 1e4, dtype=dtype),
         jnp.asarray(jnp.inf, dtype=dtype),
-        jnp.asarray(False),
     )
-    (ref, us_warm, _, is_safety, need_replan, pred, obstacles, cost,
-     assoc_overflow), ran = jax.lax.scan(
+    (ref, us_warm, _, is_safety, need_replan, pred, obstacles, cost), ran = jax.lax.scan(
         outer, init, jnp.arange(h.max_outer_iters)
     )
-    # Candidate-set overflow means the k-NN guarantee was degraded this tick:
-    # conservatively take the PD slow-down (documented divergence — the
-    # reference's exact tree has no such failure mode; at assoc_m_max=2048
-    # this needs >2048 points inside the horizon tube).
-    is_safety = is_safety & ~assoc_overflow
 
     # TTC slow-down trigger (round-2 extension, default off): estimated
     # time-to-collision toward the current 1-NN obstacle below threshold

@@ -308,3 +308,98 @@ def distance_sensor_measure(
     the central camera ray."""
     d = render_depth(Twc, field, pcfg, height=8, width=8, key=key)
     return jnp.minimum(d[4, 4], max_range)
+
+
+class LidarScan(NamedTuple):
+    """One lidar update (the ``LidarData`` output of LidarBase).
+
+    ``points`` are WORLD-frame coordinates (the reference's default
+    ``DataFrame = VehicleInertialFrame``), fixed shape (channels,
+    points_per_channel, 3) with ``mask`` False for rays that hit nothing
+    within range (the reference simply omits those points; fixed shapes
+    require the mask instead).  ``azimuth_deg`` is the horizontal angle to
+    carry into the next update (the rotating head's phase)."""
+
+    points: jax.Array  # (C, Ppc, 3) world frame
+    mask: jax.Array  # (C, Ppc) bool — hit within range
+    ranges: jax.Array  # (C, Ppc) measured range (inf where no hit)
+    azimuth_deg: jax.Array  # scalar — carried head phase
+
+
+def lidar_scan(
+    Twb: jax.Array,
+    field: "ObstacleField",
+    cfg,
+    azimuth0_deg: jax.Array,
+    key: jax.Array | None = None,
+) -> LidarScan:
+    """One rotating-lidar update against the analytic obstacle field.
+
+    The ``LidarSimple`` role (AirLib/include/sensors/lidar/LidarSimple.hpp
+    + LidarSimpleParams.hpp): ``points_per_second / update_frequency`` rays
+    per update, split evenly over ``number_of_channels`` lasers whose
+    elevations span [vertical_fov_lower, vertical_fov_upper]; the head
+    sweeps ``rotations_per_second * 360 / update_frequency`` degrees of
+    azimuth from ``azimuth0_deg``, wrapped into the horizontal FOV window.
+    Rays beyond ``cfg.range`` (VLP-16 default 100 m) are masked out — the
+    range clamp the reference applies by dropping points.  ``cfg`` is a
+    :class:`avoid_mpc_tpu.config.LidarConfig`.
+
+    Frames are z-up (the reference's NED mount (0,0,-1) is (0,0,+1) here);
+    the sensor is rigidly mounted at ``cfg.rel_position`` on the body with
+    identity orientation (the reference default).
+    """
+    dtype = Twb.dtype
+    c = cfg.number_of_channels
+    ppc = cfg.points_per_channel
+
+    # laser elevations: evenly spaced across the vertical FOV (UnrealLidarSensor)
+    elev = jnp.linspace(
+        cfg.vertical_fov_lower, cfg.vertical_fov_upper, c, dtype=dtype
+    )
+    # azimuth sweep this update, wrapped into the horizontal FOV window
+    sweep = 360.0 * cfg.rotations_per_second / cfg.update_frequency
+    fov_span = cfg.horizontal_fov_end - cfg.horizontal_fov_start
+    az = azimuth0_deg + jnp.arange(ppc, dtype=dtype) * (sweep / ppc)
+    az = cfg.horizontal_fov_start + jnp.mod(
+        az - cfg.horizontal_fov_start, fov_span
+    )
+    az_next = cfg.horizontal_fov_start + jnp.mod(
+        azimuth0_deg + sweep - cfg.horizontal_fov_start, fov_span
+    )
+
+    deg = jnp.pi / 180.0
+    el_r = (elev * deg)[:, None]  # (C, 1)
+    az_r = (az * deg)[None, :]  # (1, Ppc)
+    dirs_local = jnp.stack(
+        [
+            jnp.cos(el_r) * jnp.cos(az_r) * jnp.ones((c, ppc), dtype),
+            jnp.cos(el_r) * jnp.sin(az_r) * jnp.ones((c, ppc), dtype),
+            jnp.sin(el_r) * jnp.ones((c, ppc), dtype),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)  # (R, 3), unit length
+
+    R_wb = Twb[:3, :3]
+    o = Twb[:3, 3] + R_wb @ jnp.asarray(cfg.rel_position, dtype)
+    dirs = dirs_local @ R_wb.T  # (R, 3) world
+
+    t_cyl = _ray_cylinder(o, dirs, field.cyl_xy, field.cyl_r)
+    t_cyl = jnp.where(field.cyl_mask[None, :], t_cyl, jnp.inf)
+    t_sph = _ray_sphere(o, dirs, field.sph_c, field.sph_r)
+    t_sph = jnp.where(field.sph_mask[None, :], t_sph, jnp.inf)
+    dz = dirs[:, 2]
+    t_gnd = jnp.where(dz < -1e-6, -o[2] / dz, jnp.inf)
+    t = jnp.minimum(jnp.minimum(t_cyl.min(axis=1), t_sph.min(axis=1)), t_gnd)
+
+    if key is not None and cfg.range_std_dev > 0.0:
+        t = t + cfg.range_std_dev * jax.random.normal(key, t.shape, dtype)
+
+    hit = jnp.isfinite(t) & (t <= cfg.range)
+    pts = o[None, :] + jnp.where(hit, t, 0.0)[:, None] * dirs
+    return LidarScan(
+        points=pts.reshape(c, ppc, 3),
+        mask=hit.reshape(c, ppc),
+        ranges=jnp.where(hit, t, jnp.inf).reshape(c, ppc),
+        azimuth_deg=az_next,
+    )

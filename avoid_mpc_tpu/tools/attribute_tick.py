@@ -39,6 +39,9 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 
 CHAIN = int(os.environ.get("ATTR_CHAIN", 16))
 REPS = int(os.environ.get("ATTR_REPS", 5))
+# ATTR_SMOKE=1: tiny shapes on CPU, purely to validate tracing before
+# spending a TPU compile round on the real shapes.
+SMOKE = os.environ.get("ATTR_SMOKE", "") == "1"
 
 
 def _time_chained(name, fn, *args):
@@ -86,9 +89,15 @@ def main():
     from avoid_mpc_tpu.sim.world import build_world
     from avoid_mpc_tpu.solver.ilqr import MPCProblem, solve
 
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+
     results = {}
     cfg = EngineConfig()
-    params, hyper = build_world(cfg)  # full fidelity
+    if SMOKE:
+        params, hyper = build_world(cfg, render_scale=8, map_frames=3)
+    else:
+        params, hyper = build_world(cfg)  # full fidelity
     eng_p = params.engine
     eng_h = hyper.engine
     n, k = eng_h.n, eng_h.k
@@ -113,7 +122,7 @@ def main():
 
     quad = jnp.zeros(10, jnp.float32).at[2].set(1.5).at[4].set(8.0)
     es = engine_init(cfg)
-    Twc = jnp.eye(4, jnp.float32).at[:3, 3].set(jnp.asarray([5.0, 0.0, 1.5]))
+    Twc = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(jnp.asarray([5.0, 0.0, 1.5]))
 
     # render: carry the key so every frame differs
     @jax.jit
@@ -133,7 +142,7 @@ def main():
         jax.jit(lambda: render_depth(Twc, field, hyper.pcfg, hyper.render_h,
                                      hyper.render_w, key=key))()
     )
-    Twb = jnp.eye(4, jnp.float32).at[:3, 3].set(jnp.asarray([5.0, 0.0, 1.5]))
+    Twb = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(jnp.asarray([5.0, 0.0, 1.5]))
 
     @jax.jit
     def chain_ingest(m, depth):
@@ -156,7 +165,7 @@ def main():
 
     def make_chain_assoc(hh):
         @jax.jit
-        def chain_assoc(ref):
+        def chain_assoc(ref, m):
             def body(ref, _):
                 pts, replan, _ovf = _associate_obstacles(ref, m, eng_p, k, hh)
                 # data-dependent carry: nudge the ref path by the neighbors
@@ -166,20 +175,20 @@ def main():
         return chain_assoc
 
     results["assoc_brute"] = _time_chained(
-        "assoc_brute", make_chain_assoc(eng_h_brute), ref0)
+        "assoc_brute", make_chain_assoc(eng_h_brute), ref0, m)
     results["assoc_culled"] = _time_chained(
-        "assoc_culled", make_chain_assoc(eng_h), ref0)
+        "assoc_culled", make_chain_assoc(eng_h), ref0, m)
 
     # guard: PlanWapionts queries (1-NN obstacle distance + 1-NN edge)
     @jax.jit
-    def chain_guard(ref):
+    def chain_guard(ref, m):
         def body(ref, _):
             ref2, safe = _edge_warm_start(ref, m, eng_p)
             return ref + 1e-7 * jnp.mean(ref2), safe
         ref, _ = jax.lax.scan(body, ref, None, length=CHAIN)
         return ref
 
-    results["guard"] = _time_chained("guard", chain_guard, ref0)
+    results["guard"] = _time_chained("guard", chain_guard, ref0, m)
 
     # solve: one engine-budget box-iLQR solve, warm-start carried
     obs0 = jnp.full((n, k, 3), 1e4, jnp.float32)
@@ -199,14 +208,14 @@ def main():
 
     # engine: the whole receding step
     @jax.jit
-    def chain_engine(es):
+    def chain_engine(es, m):
         def body(es, _):
             es2, out = receding_step(es, quad, m, eng_p, eng_h)
             return es2, out.cost
         es, _ = jax.lax.scan(body, es, None, length=CHAIN)
         return es
 
-    results["engine"] = _time_chained("engine", chain_engine, es)
+    results["engine"] = _time_chained("engine", chain_engine, es, m)
 
     # ctrl+plant
     from avoid_mpc_tpu.control.bfctrl import (
@@ -256,7 +265,7 @@ def main():
     # forest_10k shapes: B=1024 scenarios, 4x2560 map
     from avoid_mpc_tpu.tools.bench_matrix import _forest_rolling_maps
 
-    b, nf, fppf = 1024, 4, 2560
+    b, nf, fppf = (4, 4, 2560) if SMOKE else (1024, 4, 2560)
     maps = _forest_rolling_maps(b, nf, fppf, jax.random.PRNGKey(0))
     maps = jax.block_until_ready(jax.jit(lambda x: x)(maps))
     es_b = jax.tree.map(
@@ -267,7 +276,7 @@ def main():
 
     def make_chain_assoc_b(hh):
         @jax.jit
-        def chain_assoc_b(ref):
+        def chain_assoc_b(ref, maps):
             def body(ref, _):
                 pts, _, _ = jax.vmap(
                     lambda r, mm: _associate_obstacles(r, mm, eng_p, k, hh)
@@ -278,12 +287,12 @@ def main():
         return chain_assoc_b
 
     results["forest_assoc_brute_b1024"] = _time_chained(
-        "forest_assoc_brute_b1024", make_chain_assoc_b(eng_h_brute), ref_b)
+        "forest_assoc_brute_b1024", make_chain_assoc_b(eng_h_brute), ref_b, maps)
     results["forest_assoc_culled_b1024"] = _time_chained(
-        "forest_assoc_culled_b1024", make_chain_assoc_b(eng_h), ref_b)
+        "forest_assoc_culled_b1024", make_chain_assoc_b(eng_h), ref_b, maps)
 
     @jax.jit
-    def chain_guard_b(ref):
+    def chain_guard_b(ref, maps):
         def body(ref, _):
             ref2, safe = jax.vmap(
                 lambda r, mm: _edge_warm_start(r, mm, eng_p)
@@ -293,7 +302,7 @@ def main():
         return ref
 
     results["forest_guard_b1024"] = _time_chained(
-        "forest_guard_b1024", chain_guard_b, ref_b)
+        "forest_guard_b1024", chain_guard_b, ref_b, maps)
 
     us_b = jnp.zeros((b, n, 4), jnp.float32).at[:, :, 2].set(9.81)
     obs_b = jnp.full((b, n, k, 3), 1e4, jnp.float32)
@@ -313,7 +322,7 @@ def main():
         "forest_solve_b1024", chain_solve_b, us_b)
 
     @jax.jit
-    def chain_engine_b(es):
+    def chain_engine_b(es, maps):
         def body(es, _):
             es2, out = jax.vmap(
                 lambda e, q, mm: receding_step(e, q, mm, eng_p, eng_h)
@@ -323,7 +332,7 @@ def main():
         return es
 
     results["forest_engine_b1024"] = _time_chained(
-        "forest_engine_b1024", chain_engine_b, es_b)
+        "forest_engine_b1024", chain_engine_b, es_b, maps)
 
     payload = {
         "chain": CHAIN, "reps": REPS,

@@ -140,12 +140,21 @@ def main(argv=None):
     dc = np.abs(cost - gold["cost"]) / np.maximum(np.abs(gold["cost"]), 1.0)
     du0 = np.abs(us[:, 0] - gold["us"][:, 0]).max(axis=1)  # per-scenario (B,)
     quality = (cost - gold["cost"]) / np.maximum(np.abs(gold["cost"]), 1.0)
+    # The 1e-3 BASELINE criterion is asserted as a HARD GATE on the
+    # mutually-converged subset (VERDICT r4 item 3): scenarios where BOTH
+    # solvers certify tol-1e-4 stationarity within the 10-iteration budget
+    # have no budget-truncation excuse — every one of them must land on the
+    # same first control to 1e-3, or this exits nonzero.
+    both_conv = np.asarray(res.converged) & gold["converged"].astype(bool)
+    du0_conv_max = float(du0[both_conv].max()) if both_conv.any() else 0.0
     print(
         f"tpu fused: mean_cost={float(cost.mean()):.4f} conv={conv:.3f} "
         f"p95_rel_dcost={np.percentile(dc, 95):.3e} "
         f"max_rel_dcost={dc.max():.3e} "
         f"p95|du0|={np.percentile(du0, 95):.3e} max|du0|={du0.max():.3e} "
-        f"mean_quality={quality.mean():+.3e}",
+        f"mean_quality={quality.mean():+.3e} "
+        f"converged_subset: n={int(both_conv.sum())}/{len(du0)} "
+        f"max|du0|={du0_conv_max:.3e}",
         flush=True,
     )
     ok = (
@@ -153,6 +162,8 @@ def main(argv=None):
         and np.percentile(du0, 95) < 1e-2
         and quality.mean() < 1e-4  # not systematically worse than golden
         and abs(conv - gconv) < 0.05
+        and both_conv.sum() > 0
+        and du0_conv_max < 1e-3  # the BASELINE criterion, hard-gated
     )
     print("FUSED_ONCHIP_OK" if ok else "FUSED_ONCHIP_MISMATCH", flush=True)
     return 0 if ok else 1

@@ -157,6 +157,65 @@ def solve_nlp_slsqp(
     return us, xs, res
 
 
+def solve_nlp_trust_constr(
+    x0,
+    ref,
+    obstacles,
+    target,
+    dt,
+    tau,
+    q_goal,
+    q_path,
+    q_u,
+    lam,
+    radius,
+    u_lower,
+    u_upper,
+    n,
+    u_init=None,
+    maxiter=200,
+    gtol=1e-8,
+    abs_smoothing=1e-8,
+):
+    """Second golden oracle, INTERIOR-POINT family (VERDICT r4 item 3).
+
+    The reference solves its NLP with IPOPT (``HighLvlMpc.cpp:50-52``), an
+    interior-point method; SLSQP (the first oracle) is an SQP/active-set
+    method.  scipy's ``trust-constr`` handles the u box with a barrier
+    interior point — algorithmically the closest in-image stand-in for
+    IPOPT — so agreement of BOTH independent oracle families with the JAX
+    solver closes most of the IPOPT-semantics gap that a single active-set
+    oracle leaves open.  Same single-shooting reduction and pure-NumPy
+    objective as :func:`solve_nlp_slsqp` (no JAX anywhere in the chain).
+    """
+    from scipy.optimize import Bounds, minimize
+
+    x0 = np.asarray(x0, dtype=np.float64)
+
+    def cost(z):
+        us = z.reshape(n, NU)
+        xs = rollout(x0, us, dt, tau)
+        return stage_costs(xs, us, ref, obstacles, target, q_goal, q_path,
+                           q_u, lam, radius, abs_smoothing=abs_smoothing)
+
+    if u_init is None:
+        u_init = np.tile(np.array([0.0, 0.0, G, 0.0]), (n, 1))
+    bounds = Bounds(
+        np.tile(np.asarray(u_lower, dtype=np.float64), n),
+        np.tile(np.asarray(u_upper, dtype=np.float64), n),
+    )
+    res = minimize(
+        cost,
+        np.asarray(u_init, dtype=np.float64).ravel(),
+        method="trust-constr",
+        bounds=bounds,
+        options={"maxiter": maxiter, "gtol": gtol, "xtol": 1e-12},
+    )
+    us = res.x.reshape(n, NU)
+    xs = rollout(x0, us, dt, tau)
+    return us, xs, res
+
+
 def knn_oracle(queries, points, k):
     """Brute-force k-NN: returns (idx, dist) sorted ascending."""
     d2 = ((queries[:, None, :] - points[None, :, :]) ** 2).sum(-1)

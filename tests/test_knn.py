@@ -162,9 +162,10 @@ def test_knn_culled_tight_radius_and_odd_shapes():
         _culled_vs_brute(rng, q, p, r_cut=1.5, m_max=2048)
 
 
-def test_knn_culled_overflow_flag():
-    """More in-box points than m_max -> overflow reported; the candidate set
-    still holds only valid points (first m_max by index)."""
+def test_knn_culled_overflow_rescued_exact():
+    """More in-box points than m_max -> the overflow flag reports that the
+    exact brute-force rescue ran, and the result EQUALS brute force (the
+    cull has no behavioral failure mode)."""
     rng = np.random.default_rng(13)
     queries = jnp.zeros((4, 3), jnp.float32)
     # dense cluster near the origin (~3000 in-box) + a far shell
@@ -172,12 +173,15 @@ def test_knn_culled_overflow_flag():
     far = rng.standard_normal((7000, 3)) * 0.5 + 100.0
     points = jnp.asarray(np.concatenate([near, far]), jnp.float32)
     mask = jnp.ones(10000, bool)
-    d, p, ovf = knn_culled(queries, points, mask, 3, r_cut=3.0, m_max=256)
+    bd, bp = knn(queries, points, mask, 3)
+    d, p, ovf = jax.jit(
+        lambda q, pp, m: knn_culled(q, pp, m, 3, r_cut=3.0, m_max=256)
+    )(queries, points, mask)
     assert bool(ovf)
-    assert np.isfinite(np.asarray(d)).all()
+    np.testing.assert_allclose(np.asarray(d), np.asarray(bd), **_ULP)
+    _check_coords_consistent(queries, d, p)
     # a generous m_max holds every in-box point: no overflow, matches brute
     d2, p2, ovf2 = knn_culled(queries, points, mask, 3, r_cut=3.0, m_max=4096)
-    bd, bp = knn(queries, points, mask, 3)
     assert not bool(ovf2)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(bd), **_ULP)
 

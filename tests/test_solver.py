@@ -296,3 +296,39 @@ def test_active_bounds_scenario():
     assert us[:, 0].max() >= float(sp.u_upper[0]) - 1e-6  # ax bound active
     pg = projected_grad_norm(problem, res.us, sp)
     assert pg < 5e-3, pg
+
+
+@pytest.mark.slow
+def test_interior_point_oracle(obstacle_solution):
+    """Second independent oracle, interior-point family (VERDICT r4 item 3):
+    the reference's IPOPT (HighLvlMpc.cpp:50-52) is an interior-point
+    method, so agreement with scipy trust-constr (barrier interior point,
+    pure-NumPy objective, no JAX in the chain) at the re-association fixed
+    point closes the algorithm-family gap the SLSQP oracle leaves open.
+    Criterion: control trajectories within 1e-3 (BASELINE.md)."""
+    from tests.oracles import solve_nlp_trust_constr
+
+    problem, res = obstacle_solution
+    w = CFG.weights
+    us_ip, xs_ip, sres = solve_nlp_trust_constr(
+        x0=np.asarray(problem.x0),
+        ref=np.asarray(problem.ref),
+        obstacles=np.asarray(problem.obstacles),
+        target=np.asarray(problem.target),
+        dt=CFG.mpc_dt,
+        tau=CFG.tau,
+        q_goal=np.asarray(w.q_goal),
+        q_path=np.asarray(w.q_path),
+        q_u=np.asarray(w.q_u),
+        lam=w.collide_lambda,
+        radius=CFG.drone_radius,
+        u_lower=np.asarray(CFG.u_lower),
+        u_upper=np.asarray(CFG.u_upper),
+        n=N,
+        u_init=np.asarray(res.us),
+        maxiter=150,
+    )
+    # the interior-point optimum and the box-iLQR optimum must agree on the
+    # whole control trajectory, and tightest on the command actually flown
+    np.testing.assert_allclose(np.asarray(res.us), us_ip, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.us[0]), us_ip[0], atol=1e-3)
