@@ -24,12 +24,13 @@ import math
 import struct
 from typing import NamedTuple
 
+from avoid_mpc_tpu.runtime.mav_msgs import BY_ID, MESSAGES
 from avoid_mpc_tpu.runtime.native import read_tlog
 
-MSG_HEARTBEAT = 0
-MSG_ATTITUDE = 30
-MSG_LOCAL_POSITION_NED = 32
-MSG_SET_ATTITUDE_TARGET = 82
+MSG_HEARTBEAT = MESSAGES["HEARTBEAT"].msgid
+MSG_ATTITUDE = MESSAGES["ATTITUDE"].msgid
+MSG_LOCAL_POSITION_NED = MESSAGES["LOCAL_POSITION_NED"].msgid
+MSG_SET_ATTITUDE_TARGET = MESSAGES["SET_ATTITUDE_TARGET"].msgid
 
 
 class TlogRecord(NamedTuple):
@@ -43,21 +44,40 @@ def _pad(payload: bytes, n: int) -> bytes:
     return payload + b"\x00" * (n - len(payload)) if len(payload) < n else payload
 
 
+def unpack_fields(msgid: int, payload: bytes) -> dict:
+    """Decode a payload into {field_name: value} via the generated dialect
+    table (runtime/mav_msgs.py — the MavLinkComGenerator role).  Numeric
+    array fields come back as tuples; byte arrays as one bytes value."""
+    _name, mdef = BY_ID[msgid]
+    vals = struct.unpack(mdef.fmt, _pad(payload, mdef.wire_len))
+    out = {}
+    i = 0
+    for fname, nv in mdef.fields:
+        out[fname] = vals[i] if nv == 1 else tuple(vals[i : i + nv])
+        i += nv
+    return out
+
+
 def decode_tlog(path: str):
     """Typed iteration of a tlog: yields :class:`TlogRecord` in capture
-    order.  Wire layouts per runtime/mavlink.cpp (size-sorted MAVLink
-    serialization)."""
+    order.  Wire layouts come from the generated message table."""
     for ts, msgid, payload in read_tlog(path):
         if msgid == MSG_LOCAL_POSITION_NED:
-            vals = struct.unpack("<Iffffff", _pad(payload, 28))
-            yield TlogRecord("odom", ts, vals[1:])  # x y z vx vy vz (NED)
+            f = unpack_fields(msgid, payload)
+            yield TlogRecord(
+                "odom", ts,
+                (f["x"], f["y"], f["z"], f["vx"], f["vy"], f["vz"]),
+            )
         elif msgid == MSG_ATTITUDE:
-            vals = struct.unpack("<Iffffff", _pad(payload, 28))
-            yield TlogRecord("att", ts, vals[1:4])  # roll pitch yaw
+            f = unpack_fields(msgid, payload)
+            yield TlogRecord("att", ts, (f["roll"], f["pitch"], f["yaw"]))
         elif msgid == MSG_SET_ATTITUDE_TARGET:
-            vals = struct.unpack("<I4fffffBBB", _pad(payload, 39))
-            # (q w x y z, roll/pitch/yaw rate, thrust, type_mask)
-            yield TlogRecord("target", ts, vals[1:5] + vals[5:9] + (vals[11],))
+            f = unpack_fields(msgid, payload)
+            yield TlogRecord(
+                "target", ts,
+                tuple(f["q"]) + (f["body_roll_rate"], f["body_pitch_rate"],
+                                 f["body_yaw_rate"], f["thrust"]),
+            )
         elif msgid == MSG_HEARTBEAT:
             yield TlogRecord("heartbeat", ts, ())
         else:
