@@ -149,7 +149,7 @@ class MPCConfig:
     # brute-force fallback, so the cull never changes behavior.
     # assoc_radius <= 0 disables the cull (pure brute force).
     assoc_radius: float = 2.5
-    assoc_m_max: int = 2048
+    assoc_m_max: int = 8192
     line_search_alphas: int = 8
     reg_init: float = 1e-6
     reg_min: float = 1e-9

@@ -124,7 +124,7 @@ class EngineHyper(NamedTuple):
     # collision softplus is exactly 0 in f32 beyond ~1.6 m (see
     # MPCConfig.assoc_radius).  radius <= 0 -> pure brute force.
     assoc_radius: float = 2.5
-    assoc_m_max: int = 2048
+    assoc_m_max: int = 8192
 
     @staticmethod
     def from_config(cfg: EngineConfig) -> "EngineHyper":

@@ -46,17 +46,19 @@ def _pairwise_sq_dists(queries: jax.Array, points: jax.Array) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
-# Above this point count the dense (Q,P) distance matrix is traded for the
-# chunked scan (peak memory O(Q*chunk) — reference-scale maps are
+# Above this element count the dense (Q,P) distance matrix is traded for
+# the chunked scan (peak memory O(Q*chunk) — reference-scale maps are
 # (100+1)*3072 ~ 310k points, where dense would be hundreds of MB per
-# scenario under vmap).
-_DENSE_P_MAX = 8192
+# scenario under vmap).  The budget scales with Q: a 1-query guard lookup
+# over the full 310k-point map is a 1.2 MB row — far cheaper dense than as
+# a 152-step SEQUENTIAL chunk scan (each step serializes on its carry).
+_DENSE_QP_MAX = 30 * 8192
 _CHUNK = 2048
 
 
 def _knn_xla(queries, points, mask, k: int):
     p = points.shape[0]
-    if p > _DENSE_P_MAX:
+    if queries.shape[0] * p > _DENSE_QP_MAX:
         pad = (-p) % _CHUNK
         if pad:
             points = jnp.pad(points, ((0, pad), (0, 0)))

@@ -190,7 +190,7 @@ def test_reference_scale_keyframe_map():
     """map_frames=None defaults to the config's max_frame_count (reference
     mpc_parameters.yaml: 100 keyframes) and the F=100 world still flies: the
     map ring holds 100 slots, map_query routes through the chunked k-NN path
-    (ops.knn._DENSE_P_MAX), and a cruise past obstacles stays collision-free.
+    (ops.knn._DENSE_QP_MAX), and a cruise past obstacles stays collision-free.
     Small render grid keeps CPU time in budget while exercising the full
     F=100 ring/prune/dedupe plumbing in jit."""
     params, hyper = build_world(CFG, render_scale=8, grid_scale=4, dtype=DTYPE)
