@@ -38,9 +38,17 @@ class StreamStats:
             return
         new = count - self._last_count
         if new > 0:
-            dt = (now - self._last_t) / new
-            for _ in range(min(new, self._window)):
-                self._intervals.append(dt)
+            if self._last_arrival is None:
+                # first arrival: no inter-arrival interval yet
+                if new > 1:
+                    dt = (now - self._last_t) / (new - 1)
+                    for _ in range(min(new - 1, self._window)):
+                        self._intervals.append(dt)
+            else:
+                # intervals measure arrival-to-arrival, not poll-to-poll
+                dt = (now - self._last_arrival) / new
+                for _ in range(min(new, self._window)):
+                    self._intervals.append(dt)
             self._intervals = self._intervals[-self._window:]
             self._last_arrival = now
         self._last_count = count
