@@ -5,5 +5,7 @@ from avoid_mpc_tpu.mapping.rolling_map import (  # noqa: F401
     map_init,
     map_keyframe_update,
     map_nearest_distance,
+    map_nonempty,
     map_query,
+    map_query_culled,
 )

@@ -1,6 +1,8 @@
 from avoid_mpc_tpu.ops.knn import (  # noqa: F401
     knn,
     knn_chunked,
+    knn_culled,
+    cull_by_bbox,
     nearest_distance,
     FAR_SENTINEL,
 )

@@ -15,7 +15,9 @@ from avoid_mpc_tpu.sim.rotor import (  # noqa: F401
     rotor_step,
 )
 from avoid_mpc_tpu.sim.sensors import (  # noqa: F401
+    LidarScan,
     ObstacleField,
+    lidar_scan,
     render_depth,
     imu_measure,
 )
