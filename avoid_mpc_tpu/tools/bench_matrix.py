@@ -330,7 +330,11 @@ def bench_montecarlo_4096(steps: int):
     compile_s = time.time() - t0
     lat = _timed_steps(fn, (x0, out[1], target, pts, mask, out[0]), steps,
                        carry_idx=[(5, 0), (1, 1)])
-    return {**_stats(lat, b), "horizon": n, "cloud_points": n_pts,
+    # chained device number (same protocol as the other legs / bench.py):
+    # the per-dispatch wall p50 above is tunnel-floor dominated here
+    chain = jax.jit(_chain_solver_step(step))
+    dev = _chained_device_stats(chain, (x0, ref, target, pts, mask, us), b)
+    return {**_stats(lat, b), **dev, "horizon": n, "cloud_points": n_pts,
             "sqp_iters": 10, "compile_s": round(compile_s, 1)}
 
 

@@ -106,13 +106,17 @@ def run_one(nd: int) -> dict:
 def sweep() -> dict:
     cores = os.cpu_count() or 1
     curve = {}
-    # The 1-device baseline runs TWICE — once before and once after the
-    # sweep — and the efficiency normalizes by the FASTER of the two: on a
-    # shared/virtualized host the single-CPU rate drifts over minutes, and a
-    # slow baseline run manufactures >1 "super-linear" efficiencies (seen
-    # twice in round 4; 84.7 ms vs 131 ms for the identical n=1 workload).
+    # Every multi-device point is BRACKETED by 1-device baseline runs and
+    # normalized against the faster of its two time-adjacent brackets: on a
+    # shared/virtualized host the single-CPU rate drifts >10% over minutes
+    # (round-4 artifacts measured 84.7 vs 131 ms for the identical n=1
+    # workload minutes apart), and a baseline measured far from the point it
+    # normalizes manufactures out-of-band "efficiencies" in either
+    # direction.  The p50-of-20 within ONE subprocess is stable; the drift
+    # lives between subprocess runs, so the bracket is the right grain.
     t1_runs = []
-    for nd in (1, 2, 4, 8, 1):
+
+    def run_one(nd):
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU claim in children
         env["XLA_FLAGS"] = "--xla_cpu_multi_thread_eigen=false"
@@ -123,34 +127,48 @@ def sweep() -> dict:
             cmd, env=env, cwd=_REPO, capture_output=True, text=True, timeout=1800
         )
         if r.returncode != 0:
-            curve[str(nd)] = {"error": r.stderr[-1000:]}
-            continue
+            return {"error": r.stderr[-1000:]}
         res = json.loads(r.stdout.strip().splitlines()[-1])
-        if nd == 1:
-            t1_runs.append(res.get("p50_ms"))
-        if str(nd) not in curve:
-            curve[str(nd)] = res
         print(json.dumps({str(nd): res}), file=sys.stderr, flush=True)
+        return res
+
+    last_t1 = None
+    for nd in (2, 4, 8):
+        if last_t1 is None:
+            pre = run_one(1)
+            t1_runs.append(pre.get("p50_ms"))
+            last_t1 = pre.get("p50_ms")
+            if "1" not in curve:
+                curve["1"] = pre
+        res = run_one(nd)
+        post = run_one(1)
+        t1_runs.append(post.get("p50_ms"))
+        if "p50_ms" in res:
+            brackets = [t for t in (last_t1, post.get("p50_ms")) if t]
+            t1_local = min(brackets) if brackets else None
+            if t1_local:
+                ideal = t1_local * nd / min(nd, cores)
+                res["core_normalized_efficiency"] = round(
+                    ideal / res["p50_ms"], 3
+                )
+                res["t1_bracket_ms"] = brackets
+        curve[str(nd)] = res
+        last_t1 = post.get("p50_ms")
 
     t1 = min((t for t in t1_runs if t), default=None)
     if t1 is not None and curve.get("1", {}).get("p50_ms"):
         curve["1"]["p50_ms_baseline_runs"] = t1_runs
         curve["1"]["p50_ms"] = t1
-    if t1:
-        for nd in (2, 4, 8):
-            e = curve.get(str(nd), {})
-            if "p50_ms" in e:
-                ideal = t1 * nd / min(nd, cores)
-                e["core_normalized_efficiency"] = round(ideal / e["p50_ms"], 3)
     return {
         "metric": "weak_scaling_virtual_cpu_mesh",
         "batch_per_device": B_PER_DEVICE,
         "host_cores": cores,
         "protocol": (
             f"per-size subprocess, single-threaded eigen per device; compile "
-            f"excluded; median of {TIMED_STEPS} steps; t1 = min of two "
-            f"baseline runs (host-drift guard); ideal weak time = "
-            f"t1 * n / min(n, {cores}); pass band [0.8, 1.15]"
+            f"excluded; median of {TIMED_STEPS} steps; each point normalized "
+            f"by the faster of its two TIME-ADJACENT 1-device bracket runs "
+            f"(host-drift guard); ideal weak time = t1_local * n / "
+            f"min(n, {cores}); pass band [0.8, 1.15]"
         ),
         "devices": curve,
     }
