@@ -50,3 +50,28 @@ def body_tf(odom: Odom):
     from avoid_mpc_tpu.utils.quaternion import quat_to_rotmat
 
     return quat_to_rotmat(odom.q), odom.p
+
+
+def odom_to_euler_deg(q_wxyz: jax.Array) -> jax.Array:
+    """Attitude quaternion -> (roll, pitch, yaw) in DEGREES, packed
+    x=roll, y=pitch, z=yaw — the plotting vector published by
+    ``uav_utils/scripts/odom_to_euler.py`` (euler_from_quaternion 'rzyx'
+    scaled by 180/pi, vector.z=yaw / y=pitch / x=roll)."""
+    from avoid_mpc_tpu.utils.quaternion import quat_to_rotmat, rotmat_to_ypr
+
+    yaw, pitch, roll = rotmat_to_ypr(quat_to_rotmat(q_wxyz))
+    return jnp.rad2deg(jnp.stack([roll, pitch, yaw], axis=-1))
+
+
+def constant_odom_stream(n: int, rate_hz: float = 1.0,
+                         stamp_offset_s: float = 0.2):
+    """Synthetic identity-pose odometry stream — the
+    ``uav_utils/scripts/send_odom.py`` debug role: n samples of a fixed
+    world-origin Odom whose stamps lag wall time by ``stamp_offset_s``
+    (the script's ``rospy.Time.now() - Duration(0.2)``), published at
+    ``rate_hz``.  Feed these (odom, stamp) pairs to bfctrl to exercise the
+    odometry age gate deterministically."""
+    q_id = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    odom = Odom(jnp.zeros(3), jnp.zeros(3), q_id)
+    stamps = [k / rate_hz - stamp_offset_s for k in range(n)]
+    return [(odom, s) for s in stamps]

@@ -6,7 +6,13 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.spatial.transform import Rotation
 
-from avoid_mpc_tpu.utils.frame_assist import Odom, body_tf, convert_odom
+from avoid_mpc_tpu.utils.frame_assist import (
+    Odom,
+    body_tf,
+    constant_odom_stream,
+    convert_odom,
+    odom_to_euler_deg,
+)
 from avoid_mpc_tpu.utils.stream_stats import StreamStats
 
 
@@ -37,6 +43,30 @@ def test_convert_odom_matches_scipy():
     np.testing.assert_allclose(np.asarray(out_id.p), p, atol=1e-7)
     R_wb, t_wb = body_tf(out)
     np.testing.assert_allclose(np.asarray(R_wb), want.as_matrix(), atol=1e-6)
+
+
+def test_odom_to_euler_deg_matches_scipy():
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        rot = Rotation.from_quat(rng.standard_normal(4))  # normalizes
+        q_wxyz = np.roll(rot.as_quat(), 1)
+        got = np.asarray(odom_to_euler_deg(jnp.asarray(q_wxyz)))
+        yaw, pitch, roll = rot.as_euler("ZYX")  # intrinsic zyx == tf 'rzyx'
+        want = np.rad2deg([roll, pitch, yaw])  # packed x=roll y=pitch z=yaw
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_constant_odom_stream_send_odom_semantics():
+    samples = constant_odom_stream(5, rate_hz=1.0, stamp_offset_s=0.2)
+    assert len(samples) == 5
+    for k, (odom, stamp) in enumerate(samples):
+        np.testing.assert_allclose(np.asarray(odom.p), 0.0)
+        np.testing.assert_allclose(np.asarray(odom.q), [1, 0, 0, 0])
+        assert abs(stamp - (k - 0.2)) < 1e-12  # lags wall time by 0.2 s
+    # identity attitude -> zero euler vector
+    np.testing.assert_allclose(
+        np.asarray(odom_to_euler_deg(samples[0][0].q)), 0.0, atol=1e-7
+    )
 
 
 def test_stream_stats_rate_jitter_age():
