@@ -355,7 +355,7 @@ def receding_step(
         d1, pt1 = map_query(rolling_map, pos[None, :], k=1, edge=False)
         vec = pt1[0, 0] - pos
         dist1 = jnp.maximum(d1[0, 0], 1e-6)
-        closing = jnp.dot(quad_state[4:7], vec / dist1)
+        closing = jnp.sum(quad_state[4:7] * (vec / dist1))  # exact 3-dot
         ttc = (dist1 - p.sp.cost.drone_radius) / jnp.maximum(closing, 1e-3)
         ttc_trigger = (
             (p.ttc_threshold > 0.0)

@@ -131,13 +131,18 @@ def _drone_behind_pts(m: RollingMap, Tbc: jax.Array, depth_min: jax.Array) -> ja
     FrameKDMap.cpp:233-252): the frame stays while ALL of the ~10 points of
     that frame nearest to the drone are still ahead of the drone's camera
     body frame (body x > depth_min). Vectorized over all F slots."""
-    Twb = m.cur_Twc @ jnp.linalg.inv(Tbc)
+    from avoid_mpc_tpu.utils.quaternion import compose_tf, rigid_inverse
+
+    # exact f32 pose math (CLAUDE.md rule 1): rigid inverse + FMA compose,
+    # no bf16 MXU pass on a world-scale translation column
+    Twb = compose_tf(m.cur_Twc, rigid_inverse(Tbc))
     twb = Twb[:3, 3]
     Rbw = Twb[:3, :3].T
 
     def per_frame(pts, mask):
         dists, npts = knn(twb[None, :], pts, mask, k=_BEHIND_K)
-        ptb_x = (npts[0] - twb) @ Rbw[0]  # body-frame forward component
+        # difference form: camera-relative offsets, exact elementwise dot
+        ptb_x = jnp.sum((npts[0] - twb) * Rbw[0], axis=-1)
         valid = jnp.isfinite(dists[0])
         # a frame with no points at all: treat as "not behind" -> prune
         return jnp.all(jnp.where(valid, ptb_x > depth_min, True)) & jnp.any(mask)

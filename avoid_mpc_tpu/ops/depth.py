@@ -95,8 +95,26 @@ def _unproject_grid(depth_grid: jax.Array, cam: CameraModel) -> jax.Array:
 
 
 def _to_world(pts_cam: jax.Array, Twb: jax.Array, cam: CameraModel) -> jax.Array:
-    Twc = Twb @ cam.Tbc
-    return pts_cam @ Twc[:3, :3].T + Twc[:3, 3]
+    # World coordinates through a matmul: full f32 mandatory (CLAUDE.md
+    # rule 1).  The default bf16 MXU pass shifts back-projected points by
+    # ~0.3 m at 50 m range (measured on-chip round 5) — larger than the
+    # 0.1 m dedupe threshold and a real bite out of the 0.2-0.5 m safety
+    # margins.  Everything is written as per-element FMA chains (compose_tf
+    # + per-column rotation) so it stays exact on the VPU at full speed.
+    from avoid_mpc_tpu.utils.quaternion import compose_tf
+
+    Twc = compose_tf(Twb, cam.Tbc)
+    R, t = Twc[:3, :3], Twc[:3, 3]
+    return jnp.stack(
+        [
+            pts_cam[..., 0] * R[i, 0]
+            + pts_cam[..., 1] * R[i, 1]
+            + pts_cam[..., 2] * R[i, 2]
+            + t[i]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
 
 
 def depth_to_points(depth: jax.Array, Twb: jax.Array, cam: CameraModel):

@@ -257,7 +257,10 @@ def sixdof_step_rotor(
         rs, force_b, torque = rotor_step(rs, motors, h, rp)
 
         R = quat_to_rotmat(b.q)
-        thrust_force = R @ force_b
+        # exact body->world force: per-column FMA chain, no bf16 MXU pass
+        thrust_force = (
+            R[:, 0] * force_b[0] + R[:, 1] * force_b[1] + R[:, 2] * force_b[2]
+        )
         drag = -p.drag_c * jnp.linalg.norm(b.v) * b.v
         gravity = jnp.asarray([0.0, 0.0, -GRAVITY], dtype=b.p.dtype)
 

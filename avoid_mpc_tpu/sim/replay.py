@@ -24,6 +24,7 @@ from avoid_mpc_tpu.config import EngineConfig
 from avoid_mpc_tpu.engine import engine_init, receding_step
 from avoid_mpc_tpu.mapping import map_add_frame, map_init, map_keyframe_update
 from avoid_mpc_tpu.ops.depth import process_depth_frame
+from avoid_mpc_tpu.utils.quaternion import compose_tf
 from avoid_mpc_tpu.sim.sensors import ObstacleField
 from avoid_mpc_tpu.sim.world import (
     MISSION_TASK,
@@ -91,7 +92,7 @@ def replay(
         m, e = carry
         depth, Twb, x_pred, mission = inp
         pts, mask, epts, emask = process_depth_frame(depth, Twb, params.cam)
-        m = map_add_frame(m, pts, mask, epts, emask, Twb @ params.Tbc)
+        m = map_add_frame(m, pts, mask, epts, emask, compose_tf(Twb, params.Tbc))
         m = map_keyframe_update(
             m, params.Tbc, params.depth_min, params.dedupe_dist, params.dedupe_count
         )

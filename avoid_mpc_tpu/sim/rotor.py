@@ -120,7 +120,12 @@ def mix_quadx(
     """(4,) motor signals from the angle-mixer controls (Mixer.hpp:19-48)."""
     table = jnp.asarray(MIXER_QUADX, dtype=throttle.dtype)
     controls = jnp.stack([throttle, roll, pitch, yaw])
-    m = table @ controls
+    # exact mix on the VPU (±1 weights; a bf16 MXU pass would round the
+    # throttle inputs to 8-bit mantissas)
+    m = (
+        table[:, 0] * controls[0] + table[:, 1] * controls[1]
+        + table[:, 2] * controls[2] + table[:, 3] * controls[3]
+    )
 
     # shift up by the undershoot below min_motor_output
     undershoot = jnp.maximum(p.min_motor_output - jnp.min(m), 0.0)

@@ -57,7 +57,14 @@ def _ray_cylinder(o: jax.Array, d: jax.Array, cxy: jax.Array, r: jax.Array):
     dxy = d[..., 0:2]  # (R,2)
     a = jnp.sum(dxy * dxy, axis=-1)[:, None]  # (R,1)
     fo = oxy[None, :] - cxy  # (K,2)
-    b2 = 2.0 * (dxy @ fo.T)  # (R,K)
+    # fo holds world-scale offsets (~100 m): a dot product here takes the
+    # default bf16 MXU pass and puts ~0.2 m of error into the intersection t
+    # (CLAUDE.md rule 1).  Written as broadcast outer products the sum stays
+    # on the VPU in full f32 at the same FLOP count (a HIGHEST-precision dot
+    # costs ~6x here — measured +10 ms on the 307k-ray tick).
+    b2 = 2.0 * (
+        dxy[:, 0:1] * fo[None, :, 0] + dxy[:, 1:2] * fo[None, :, 1]
+    )  # (R,K)
     c = jnp.sum(fo * fo, axis=-1)[None, :] - (r**2)[None, :]  # (1,K)->(R,K)
     disc = b2 * b2 - 4.0 * a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -70,7 +77,12 @@ def _ray_cylinder(o: jax.Array, d: jax.Array, cxy: jax.Array, r: jax.Array):
 
 def _ray_sphere(o: jax.Array, d: jax.Array, c: jax.Array, r: jax.Array):
     f = o[None, :] - c  # (K,3)
-    b2 = 2.0 * (d @ f.T)  # (R,K)
+    # broadcast outer products: exact f32 on the VPU (see _ray_cylinder)
+    b2 = 2.0 * (
+        d[:, 0:1] * f[None, :, 0]
+        + d[:, 1:2] * f[None, :, 1]
+        + d[:, 2:3] * f[None, :, 2]
+    )  # (R,K)
     cc = jnp.sum(f * f, axis=-1)[None, :] - (r**2)[None, :]
     disc = b2 * b2 - 4.0 * cc
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -117,7 +129,16 @@ def render_depth(
 
     R = Twc[:3, :3]
     o = Twc[:3, 3]
-    dirs_world = dirs_cam @ R.T  # (R,3)
+    # exact ray directions without the MXU: per-column FMA chains (VPU f32)
+    dirs_world = jnp.stack(
+        [
+            dirs_cam[:, 0] * R[i, 0]
+            + dirs_cam[:, 1] * R[i, 1]
+            + dirs_cam[:, 2] * R[i, 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )  # (R,3)
 
     t_cyl = _ray_cylinder(o, dirs_world, field.cyl_xy, field.cyl_r)
     t_cyl = jnp.where(field.cyl_mask[None, :], t_cyl, jnp.inf)
@@ -194,9 +215,14 @@ def render_rig(
     model and noise treatment as the front stream) — the remaining declared
     sensor surface of the bridge (``airsim_ros_wrapper.cpp:1170-1231``)."""
     keys = (None, None, None) if key is None else tuple(jax.random.split(key, 3))
+    from avoid_mpc_tpu.utils.quaternion import compose_tf
+
+    poses = [  # exact f32 pose compose (world-scale translation, rule 1)
+        compose_tf(Twb, T) for T in (rig.T_b_left, rig.T_b_right, rig.T_b_bottom)
+    ]
     frames = [
-        render_depth(Twb @ T, field, pcfg, height, width, key=k)
-        for T, k in zip((rig.T_b_left, rig.T_b_right, rig.T_b_bottom), keys)
+        render_depth(Twc, field, pcfg, height, width, key=k)
+        for Twc, k in zip(poses, keys)
     ]
     return RigCapture(*frames)
 
@@ -235,7 +261,8 @@ def imu_measure(
     k1, k2, k3 = jax.random.split(key, 3)
     dtype = a_world.dtype
     g = jnp.asarray([0.0, 0.0, GRAVITY], dtype=dtype)
-    f_body = quat_to_rotmat(q).T @ (a_world + g)
+    # exact specific force: elementwise R.T v on the VPU (no bf16 MXU pass)
+    f_body = jnp.sum(quat_to_rotmat(q) * (a_world + g)[:, None], axis=0)
     sq = jnp.sqrt(dt)
     bias = bias + jnp.concatenate(
         [
@@ -297,7 +324,7 @@ def magnetometer_measure(q: jax.Array, declination: jax.Array, noise: jax.Array,
     north = jnp.stack(
         [jnp.cos(declination), jnp.sin(declination), jnp.zeros_like(declination)]
     )
-    body = quat_to_rotmat(q).T @ north
+    body = jnp.sum(quat_to_rotmat(q) * north[:, None], axis=0)  # exact R.T v
     return body + noise * jax.random.normal(key, (3,), body.dtype)
 
 
@@ -381,8 +408,18 @@ def lidar_scan(
     ).reshape(-1, 3)  # (R, 3), unit length
 
     R_wb = Twb[:3, :3]
-    o = Twb[:3, 3] + R_wb @ jnp.asarray(cfg.rel_position, dtype)
-    dirs = dirs_local @ R_wb.T  # (R, 3) world
+    # exact world rays on the VPU (rule 1): elementwise R v + column FMAs
+    rel = jnp.asarray(cfg.rel_position, dtype)
+    o = Twb[:3, 3] + jnp.sum(R_wb * rel[None, :], axis=-1)
+    dirs = jnp.stack(
+        [
+            dirs_local[:, 0] * R_wb[i, 0]
+            + dirs_local[:, 1] * R_wb[i, 1]
+            + dirs_local[:, 2] * R_wb[i, 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )  # (R, 3) world
 
     t_cyl = _ray_cylinder(o, dirs, field.cyl_xy, field.cyl_r)
     t_cyl = jnp.where(field.cyl_mask[None, :], t_cyl, jnp.inf)

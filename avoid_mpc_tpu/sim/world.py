@@ -284,11 +284,11 @@ def world_step_full(
             [0.0, 0.0, 9.81], dtype=dtype
         )
         x_true = x_true.at[7:10].set(acc_est)
-    from avoid_mpc_tpu.utils.quaternion import quat_to_rotmat
+    from avoid_mpc_tpu.utils.quaternion import compose_tf, quat_to_rotmat
 
     R_wb = quat_to_rotmat(ws.plant.q)
     Twb = jnp.eye(4, dtype=dtype).at[:3, :3].set(R_wb).at[:3, 3].set(ws.plant.p)
-    Twc = Twb @ params.Tbc
+    Twc = compose_tf(Twb, params.Tbc)  # exact f32 pose compose (rule 1)
     depth = render_depth(
         Twc, field, hyper.pcfg, hyper.render_h, hyper.render_w,
         key=k_noise if hyper.use_depth_noise else None,
@@ -316,7 +316,8 @@ def world_step_full(
         pts, mask, epts, emask = process_depth_frame(depth, Twb_est, params.cam)
         # keyframe map disabled (FrameKDMap.cpp:29): current frame only —
         # the local frame is not inertial, so keyframes would be inconsistent
-        m = map_add_frame(ws.map, pts, mask, epts, emask, Twb_est @ params.Tbc)
+        m = map_add_frame(ws.map, pts, mask, epts, emask,
+                          compose_tf(Twb_est, params.Tbc))
     else:
         pts, mask, epts, emask = process_depth_frame(depth, Twb, params.cam)
         m = map_add_frame(ws.map, pts, mask, epts, emask, Twc)

@@ -119,6 +119,64 @@ def quat_integrate(q: jax.Array, omega_body: jax.Array, dt) -> jax.Array:
     return quat_normalize(quat_multiply(q, dq))
 
 
+def compose_tf(Ta: jax.Array, Tb: jax.Array) -> jax.Array:
+    """Rigid-transform compose ``Ta @ Tb`` written as per-element FMA chains.
+
+    World-coordinate pose math must stay exact f32 (CLAUDE.md rule 1): the
+    default ``@`` takes a bf16 MXU pass that quantizes the translation column
+    (~0.25 m ulp at x=130 m), and a HIGHEST-precision dot costs a
+    disproportionate slice of the composed world-step program (measured
+    round 5).  Elementwise products on the VPU are exact and free."""
+    Ra, ta = Ta[..., :3, :3], Ta[..., :3, 3]
+    Rb, tb = Tb[..., :3, :3], Tb[..., :3, 3]
+    R = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    Ra[..., i, 0] * Rb[..., 0, j]
+                    + Ra[..., i, 1] * Rb[..., 1, j]
+                    + Ra[..., i, 2] * Rb[..., 2, j]
+                    for j in range(3)
+                ],
+                axis=-1,
+            )
+            for i in range(3)
+        ],
+        axis=-2,
+    )
+    t = jnp.stack(
+        [
+            Ra[..., i, 0] * tb[..., 0]
+            + Ra[..., i, 1] * tb[..., 1]
+            + Ra[..., i, 2] * tb[..., 2]
+            + ta[..., i]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    T = jnp.zeros_like(Ta)
+    T = T.at[..., :3, :3].set(R).at[..., :3, 3].set(t)
+    return T.at[..., 3, 3].set(1.0)
+
+
+def rigid_inverse(T: jax.Array) -> jax.Array:
+    """Inverse of a rigid (4,4) transform: [R.T, -R.T t] — exact, no LU."""
+    R, t = T[..., :3, :3], T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    ti = jnp.stack(
+        [
+            -(Rt[..., i, 0] * t[..., 0]
+              + Rt[..., i, 1] * t[..., 1]
+              + Rt[..., i, 2] * t[..., 2])
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    Ti = jnp.zeros_like(T)
+    Ti = Ti.at[..., :3, :3].set(Rt).at[..., :3, 3].set(ti)
+    return Ti.at[..., 3, 3].set(1.0)
+
+
 def skew(v: jax.Array) -> jax.Array:
     x, y, z = jnp.moveaxis(v, -1, 0)
     zero = jnp.zeros_like(x)

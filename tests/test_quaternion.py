@@ -98,3 +98,27 @@ def test_conjugate_inverse():
     q = jnp.asarray(rand_quats(1, 7)[0])
     qq = quat_multiply(q, quat_conjugate(q))
     np.testing.assert_allclose(np.asarray(qq), [1, 0, 0, 0], atol=1e-12)
+
+
+def test_compose_tf_rigid_inverse():
+    """FMA-chain pose compose/inverse == matrix products (f64 oracle)."""
+    from scipy.spatial.transform import Rotation
+
+    from avoid_mpc_tpu.utils.quaternion import compose_tf, rigid_inverse
+
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        Ta = np.eye(4)
+        Ta[:3, :3] = Rotation.from_quat(rng.standard_normal(4)).as_matrix()
+        Ta[:3, 3] = rng.uniform(-150, 150, 3)  # world-scale translation
+        Tb = np.eye(4)
+        Tb[:3, :3] = Rotation.from_quat(rng.standard_normal(4)).as_matrix()
+        Tb[:3, 3] = rng.uniform(-1, 1, 3)
+        got = np.asarray(compose_tf(jnp.asarray(Ta), jnp.asarray(Tb)))
+        np.testing.assert_allclose(got, Ta @ Tb, atol=1e-9)
+        inv = np.asarray(rigid_inverse(jnp.asarray(Ta)))
+        np.testing.assert_allclose(inv, np.linalg.inv(Ta), atol=1e-9)
+        # batched leading axis
+        batch = jnp.stack([jnp.asarray(Ta)] * 3)
+        gotb = np.asarray(compose_tf(batch, jnp.asarray(Tb)))
+        np.testing.assert_allclose(gotb[1], Ta @ Tb, atol=1e-9)
